@@ -1,0 +1,139 @@
+"""Headless CLI — the TPU-native replacement of the reference's
+windowed App (SURVEY.md §7: "ImGui app -> headless CLI").
+
+CLI surface modeled on /root/reference/src/main.cpp:46-130 (positional
+scene file + options, TOML config merge with CLI priority) plus the
+Renderer mode toggles (Renderer.hpp:107-117) as --mode/--flags.
+
+Usage:
+  python -m prosper_tpu.app.cli render SCENE.gltf --mode forward \
+      --width 256 --height 256 --out frame.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+DEFAULT_SCENE = "/root/reference/res/glTF/FlightHelmet/glTF/FlightHelmet.gltf"
+
+
+def _load_toml_defaults(path: str | None) -> dict:
+    if not path:
+        return {}
+    import tomllib
+
+    with open(path, "rb") as f:
+        return tomllib.load(f)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="prosper_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+    r = sub.add_parser("render", help="render frames of a glTF scene")
+    r.add_argument("scene", nargs="?", default=DEFAULT_SCENE)
+    r.add_argument("--config", help="TOML config file (CLI flags win)")
+    r.add_argument(
+        "--mode",
+        default="forward",
+        choices=["forward", "pt", "deferred", "restir"],
+    )
+    r.add_argument("--width", type=int, default=1920)
+    r.add_argument("--height", type=int, default=1080)
+    r.add_argument("--frames", type=int, default=1)
+    r.add_argument("--time", type=float, default=0.0, help="animation time (s)")
+    r.add_argument("--animate", action="store_true", help="advance time per frame")
+    r.add_argument("--exposure", type=float, default=1.0)
+    r.add_argument("--contrast", type=float, default=1.0)
+    r.add_argument("--max-bounces", type=int, default=3)
+    r.add_argument("--out", default="out/frame.png")
+    r.add_argument("--max-texture-dim", type=int, default=2048)
+    r.add_argument("--platform", default=None, help="force JAX platform (cpu/tpu)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    toml_cfg = _load_toml_defaults(getattr(args, "config", None))
+    for k, v in toml_cfg.items():
+        k = k.replace("-", "_")
+        if hasattr(args, k):
+            # CLI wins only when explicitly given; argparse defaults lose.
+            # Simple policy: TOML overrides defaults, not explicit flags —
+            # detecting explicitness cheaply via sys.argv scan.
+            flag = "--" + k.replace("_", "-")
+            if flag not in (sys.argv if argv is None else argv):
+                setattr(args, k, v)
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import jax.numpy as jnp
+
+    from ..io.image import write_png
+    from ..ops.tonemap import load_tony_mc_mapface
+    from ..scene.textures import build_texture_arena
+    from ..scene.world import World
+    from ..utils.logger import log_info
+
+    t0 = time.time()
+    world = World(args.scene)
+    arena = build_texture_arena(world.doc, max_dim=args.max_texture_dim)
+    log_info("Scene ready in %.2fs", time.time() - t0)
+
+    static = {
+        k: ({kk: jnp.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict) else jnp.asarray(v))
+        for k, v in world.static_scene_arrays().items()
+    }
+    arena_dev = {k: jnp.asarray(v) for k, v in arena.uniforms().items()}
+    lut = jnp.asarray(load_tony_mc_mapface())
+    cam_obj = world.make_camera((args.width, args.height), apply_jitter=False)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
+
+    from ..render.frame import render_modes
+
+    render_fn = render_modes()[args.mode]
+
+    state = None
+    img = None
+    for f in range(args.frames):
+        t_anim = args.time + (f / 60.0 if args.animate else 0.0)
+        frame = world.frame_arrays(t_anim)
+        frame_dev = {
+            k: ({kk: jnp.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict) else jnp.asarray(v))
+            for k, v in frame.items()
+            if k not in ("scene_camera", "bvh_depth")
+        }
+        cam = {k: jnp.asarray(v) for k, v in cam_obj.uniforms().items()}
+        t0 = time.time()
+        img, state = render_fn(
+            static=static,
+            frame=frame_dev,
+            arena=arena_dev,
+            cam=cam,
+            lut=lut,
+            width=args.width,
+            height=args.height,
+            exposure=args.exposure,
+            contrast=args.contrast,
+            max_bounces=args.max_bounces,
+            frame_index=f,
+            state=state,
+        )
+        img.block_until_ready()
+        log_info("frame %d: %.1f ms", f, (time.time() - t0) * 1e3)
+        cam_obj.end_frame()
+
+    write_png(args.out, np.asarray(img))
+    log_info("wrote %s", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

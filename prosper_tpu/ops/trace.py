@@ -1,0 +1,250 @@
+"""Closest-hit / any-hit ray tracing over the flattened cluster scene.
+
+TPU-first traversal design (SURVEY.md §7 hard part #1): instead of a
+per-ray divergent BVH walk (pointer chasing is hostile to the VPU), rays
+are processed in coherent tiles; a conservative packet-vs-cluster-AABB cull
+produces per-tile cluster work lists, then each tile intersects whole
+128-triangle cluster slabs as dense (LANES x 128) vector ops — gathers
+become regular tile loads and the FLOPs land on the VPU at full width.
+
+This module is the pure-XLA implementation (runs on CPU for tests and on
+TPU as the fallback path); ops/trace_pallas.py holds the hand-tiled kernel
+with the same semantics.
+
+Replaces: VK ray tracing pipeline + BLAS/TLAS traversal
+(/root/reference/src/render/RtReference.cpp:301-527, TLAS rebuild
+World.cpp:749-802).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .intersect import moller_trumbore, packet_aabb_overlap
+
+TILE = 256  # rays per packet: 2 VPU sublane-rows of 128 lanes
+CLUSTER_PAD = 128  # triangles per cluster slab (scene/meshlets.py)
+
+
+def _pad_rays(ray_o, ray_d):
+    """Pad ray count to a TILE multiple with miss-guaranteed dummy rays.
+
+    Dummy rays keep the origin of ray 0 (so packet origin bounds stay
+    tight) with a zero direction, which can never pass the slab/Möller
+    tests. Returns (o, d, original_count)."""
+    R = ray_o.shape[0]
+    pad = (-R) % TILE
+    if pad == 0:
+        return ray_o, ray_d, R
+    o_pad = jnp.broadcast_to(ray_o[:1], (pad, 3))
+    d_pad = jnp.zeros((pad, 3), ray_d.dtype)
+    return (
+        jnp.concatenate([ray_o, o_pad], axis=0),
+        jnp.concatenate([ray_d, d_pad], axis=0),
+        R,
+    )
+
+
+def world_triangles(static_scene: dict, frame: dict) -> dict:
+    """Transform object-space cluster tris to world space (device, fused).
+
+    The per-frame analog of the TLAS rebuild: one batched affine transform
+    over the whole arena, gathering each triangle's instance matrix.
+    """
+    m = frame["transforms"]  # (I, 3, 4)
+    inst = static_scene["wt_instance"]  # (S,)
+    mi = m[inst]  # (S, 3, 4) gather
+
+    def xf(p):
+        return jnp.einsum("sij,sj->si", mi[:, :, :3], p) + mi[:, :, 3]
+
+    p0 = xf(static_scene["wt_p0"])
+    p1 = xf(static_scene["wt_p1"])
+    p2 = xf(static_scene["wt_p2"])
+    return {"v0": p0, "e1": p1 - p0, "e2": p2 - p0}
+
+
+@partial(jax.jit, static_argnames=("max_clusters",))
+def trace_closest(
+    tris: dict,
+    wc_min: jnp.ndarray,
+    wc_max: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+    max_clusters: int | None = None,
+):
+    """Closest hit for R rays (R multiple of TILE).
+
+    Returns dict: t (R,), tri (R,) int32 slot index (-1 = miss),
+    u, v (R,) barycentrics.
+    """
+    n_clusters = wc_min.shape[0]
+    max_clusters = max_clusters or n_clusters
+    t_max_full = jnp.broadcast_to(
+        jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],)
+    )
+    ray_o, ray_d, R_out = _pad_rays(ray_o, ray_d)
+    R = ray_o.shape[0]
+    n_tiles = R // TILE
+    o_t = ray_o.reshape(n_tiles, TILE, 3)
+    d_t = ray_d.reshape(n_tiles, TILE, 3)
+    t_max_t = jnp.concatenate(
+        [t_max_full, jnp.zeros((R - R_out,), jnp.float32)]
+    ).reshape(n_tiles, TILE)
+    t_min = jnp.asarray(t_min, jnp.float32)
+
+    # ---- phase 1: conservative packet cull -> per-tile cluster lists ----
+    o_lo, o_hi = o_t.min(axis=1), o_t.max(axis=1)
+    d_lo, d_hi = d_t.min(axis=1), d_t.max(axis=1)
+    overlap = packet_aabb_overlap(
+        o_lo[:, None, :],
+        o_hi[:, None, :],
+        d_lo[:, None, :],
+        d_hi[:, None, :],
+        wc_min[None, :, :],
+        wc_max[None, :, :],
+        t_max_t.max(axis=1)[:, None],
+    )  # (T, C)
+    counts = overlap.sum(axis=1).astype(jnp.int32)  # (T,)
+    # stable-compact overlapping cluster ids to the front
+    order = jnp.argsort(~overlap, axis=1, stable=True)  # (T, C)
+    lists = order[:, :max_clusters].astype(jnp.int32)
+    counts = jnp.minimum(counts, max_clusters)
+
+    v0, e1, e2 = tris["v0"], tris["e1"], tris["e2"]
+
+    # ---- phase 2: per-tile dense slab intersection ----
+    def tile_trace(o, d, tmax0, clist, count):
+        def cond(state):
+            k = state[0]
+            return k < count
+
+        def body(state):
+            k, best_t, best_tri, best_u, best_v = state
+            c = clist[k]
+            base = c * CLUSTER_PAD
+            tv0 = jax.lax.dynamic_slice(v0, (base, 0), (CLUSTER_PAD, 3))
+            te1 = jax.lax.dynamic_slice(e1, (base, 0), (CLUSTER_PAD, 3))
+            te2 = jax.lax.dynamic_slice(e2, (base, 0), (CLUSTER_PAD, 3))
+            hit, t, u, v = moller_trumbore(
+                o[:, None, :],
+                d[:, None, :],
+                tv0[None, :, :],
+                te1[None, :, :],
+                te2[None, :, :],
+                t_min,
+                best_t[:, None],
+            )  # (TILE, 128)
+            t = jnp.where(hit, t, jnp.inf)
+            j = jnp.argmin(t, axis=1)  # (TILE,)
+            tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+            better = tj < best_t
+            sel = lambda new, old: jnp.where(better, new, old)
+            best_tri = sel(base + j.astype(jnp.int32), best_tri)
+            best_u = sel(jnp.take_along_axis(u, j[:, None], 1)[:, 0], best_u)
+            best_v = sel(jnp.take_along_axis(v, j[:, None], 1)[:, 0], best_v)
+            best_t = sel(tj, best_t)
+            return (k + 1, best_t, best_tri, best_u, best_v)
+
+        init = (
+            jnp.int32(0),
+            tmax0,
+            jnp.full((TILE,), -1, jnp.int32),
+            jnp.zeros((TILE,), jnp.float32),
+            jnp.zeros((TILE,), jnp.float32),
+        )
+        _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, init)
+        return bt, btri, bu, bv
+
+    bt, btri, bu, bv = jax.vmap(tile_trace)(o_t, d_t, t_max_t, lists, counts)
+    return {
+        "t": bt.reshape(R)[:R_out],
+        "tri": btri.reshape(R)[:R_out],
+        "u": bu.reshape(R)[:R_out],
+        "v": bv.reshape(R)[:R_out],
+    }
+
+
+@partial(jax.jit, static_argnames=("max_clusters",))
+def trace_any(
+    tris: dict,
+    wc_min: jnp.ndarray,
+    wc_max: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+    max_clusters: int | None = None,
+):
+    """Any-hit (shadow) rays: returns occluded mask (R,) bool.
+
+    Same phases as trace_closest but terminates a tile as soon as all its
+    rays are occluded (TerminateOnFirstHit analog, main.rgen shadow rays).
+    """
+    n_clusters = wc_min.shape[0]
+    max_clusters = max_clusters or n_clusters
+    t_max_full = jnp.broadcast_to(
+        jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],)
+    )
+    ray_o, ray_d, R_out = _pad_rays(ray_o, ray_d)
+    R = ray_o.shape[0]
+    n_tiles = R // TILE
+    o_t = ray_o.reshape(n_tiles, TILE, 3)
+    d_t = ray_d.reshape(n_tiles, TILE, 3)
+    t_max_t = jnp.concatenate(
+        [t_max_full, jnp.zeros((R - R_out,), jnp.float32)]
+    ).reshape(n_tiles, TILE)
+    t_min = jnp.asarray(t_min, jnp.float32)
+
+    o_lo, o_hi = o_t.min(axis=1), o_t.max(axis=1)
+    d_lo, d_hi = d_t.min(axis=1), d_t.max(axis=1)
+    overlap = packet_aabb_overlap(
+        o_lo[:, None, :],
+        o_hi[:, None, :],
+        d_lo[:, None, :],
+        d_hi[:, None, :],
+        wc_min[None, :, :],
+        wc_max[None, :, :],
+        t_max_t.max(axis=1)[:, None],
+    )
+    counts = jnp.minimum(overlap.sum(axis=1).astype(jnp.int32), max_clusters)
+    order = jnp.argsort(~overlap, axis=1, stable=True)
+    lists = order[:, :max_clusters].astype(jnp.int32)
+
+    v0, e1, e2 = tris["v0"], tris["e1"], tris["e2"]
+
+    def tile_trace(o, d, tmax0, clist, count):
+        def cond(state):
+            k, occ = state
+            return (k < count) & ~jnp.all(occ)
+
+        def body(state):
+            k, occ = state
+            c = clist[k]
+            base = c * CLUSTER_PAD
+            tv0 = jax.lax.dynamic_slice(v0, (base, 0), (CLUSTER_PAD, 3))
+            te1 = jax.lax.dynamic_slice(e1, (base, 0), (CLUSTER_PAD, 3))
+            te2 = jax.lax.dynamic_slice(e2, (base, 0), (CLUSTER_PAD, 3))
+            hit, _, _, _ = moller_trumbore(
+                o[:, None, :],
+                d[:, None, :],
+                tv0[None, :, :],
+                te1[None, :, :],
+                te2[None, :, :],
+                t_min,
+                tmax0[:, None],
+            )
+            return (k + 1, occ | jnp.any(hit, axis=1))
+
+        _, occ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((TILE,), bool))
+        )
+        return occ
+
+    occ = jax.vmap(tile_trace)(o_t, d_t, t_max_t, lists, counts)
+    return occ.reshape(R)[:R_out]

@@ -1,0 +1,106 @@
+"""Forward path: primary-visibility ray cast + full unshadowed light
+evaluation (the deferred/forward raster analog, BASELINE config 1).
+
+The reference rasterises meshlets and shades in forward.frag with
+clustered lights; primary visibility here is produced by ray casting the
+same cluster scene (SURVEY.md §7 "software rasterizer is the wrong
+primitive on TPU"), then shading matches forward.frag's math:
+directional + all point + all spot lights, unshadowed, optional IBL.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import trace
+from ..ops.rays import pinhole_rays
+from ..ops.tonemap import tone_map
+from .shading import (
+    eval_directional_light,
+    point_light_irradiance,
+    spot_light_irradiance,
+)
+from .surface import evaluate_surface
+from ..ops.brdf import eval_brdf_times_nol
+
+
+def eval_all_lights(surface: dict, lights: dict) -> jnp.ndarray:
+    """Directional + every point/spot light, unshadowed (forward.frag core).
+    The clustered variant culls lights per froxel; evaluation math is
+    identical (ops/clustering.py provides the culled index lists)."""
+    color = eval_directional_light(surface, lights)
+
+    n_point = lights["point_position"].shape[0]
+    n_spot = lights["spot_position"].shape[0]
+    pos = surface["position_ws"]
+
+    def add_point(i, acc):
+        l, _, irr = point_light_irradiance(lights, i, pos)
+        contrib = irr * eval_brdf_times_nol(
+            l,
+            surface["inv_view_ray"],
+            surface["normal_ws"],
+            surface["albedo"],
+            surface["roughness"],
+            surface["metallic"],
+        )
+        return acc + jnp.where(i < lights["point_count"], contrib, 0.0)
+
+    def add_spot(i, acc):
+        l, _, irr = spot_light_irradiance(lights, i, pos)
+        contrib = irr * eval_brdf_times_nol(
+            l,
+            surface["inv_view_ray"],
+            surface["normal_ws"],
+            surface["albedo"],
+            surface["roughness"],
+            surface["metallic"],
+        )
+        return acc + jnp.where(i < lights["spot_count"], contrib, 0.0)
+
+    color = jax.lax.fori_loop(
+        0, jnp.minimum(lights["point_count"], n_point), add_point, color
+    )
+    color = jax.lax.fori_loop(
+        0, jnp.minimum(lights["spot_count"], n_spot), add_spot, color
+    )
+    return color
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def render_forward(
+    static_scene: dict,
+    frame: dict,
+    arena: dict,
+    cam: dict,
+    lut: jnp.ndarray,
+    width: int,
+    height: int,
+    exposure: float = 1.0,
+    contrast: float = 1.0,
+):
+    """One forward frame -> (H, W, 3) display-encoded image."""
+    # pixel-center rays (no jitter for the still-frame golden)
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    uv = jnp.stack(jnp.meshgrid(px, py, indexing="xy"), axis=-1)  # (H, W, 2)
+    o, d = pinhole_rays(cam, uv.reshape(-1, 2))
+
+    tris = trace.world_triangles(static_scene, frame)
+    hit = trace.trace_closest(
+        tris,
+        frame["wc_aabb_min_w"],
+        frame["wc_aabb_max_w"],
+        o,
+        d,
+        1e-4,
+        jnp.inf,
+    )
+    surface = evaluate_surface(static_scene, frame, arena, o, d, hit)
+    color = eval_all_lights(surface, frame["lights"])
+    color = jnp.where(surface["valid"][..., None], color, 0.0)
+    img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
+    return img

@@ -1,0 +1,140 @@
+"""Meshlet/cluster building: the TPU analog of the reference's meshoptimizer
+pipeline (DeferredLoadingContext.cpp:340-440: optimize -> meshlets 64v/124t,
+cone_weight 0.5; limits /root/reference/src/utils/Utils.hpp:18-19).
+
+Design note (TPU-first): clusters serve double duty here.
+1. They are the culling granularity for the meshlet draw-list pipeline
+   (frustum/cone/HiZ tests over flat cluster arrays, SURVEY.md §7).
+2. They are the BVH leaf granularity for ray traversal: a leaf visit
+   intersects the whole 128-padded triangle tile against a ray packet with
+   dense VPU math — irregular per-triangle gathers become regular tiles.
+
+Instead of meshoptimizer's vertex-cache optimisation (a HW-rasteriser
+concern), we order triangles along a Morton curve of their centroids so
+clusters are spatially tight, which is what both culling and BVH quality
+actually need on TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# Parity with the reference limits (Utils.hpp:18-19); storage pads to 128.
+MAX_MESHLET_VERTICES = 64
+MAX_MESHLET_TRIANGLES = 124
+CLUSTER_TRI_PAD = 128
+
+
+def morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit x/y/z into 30-bit Morton codes (uint32)."""
+
+    def expand(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint32) & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (expand(x) << 2) | (expand(y) << 1) | expand(z)
+
+
+def morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Sort order of points along a Morton curve."""
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((centroids - lo) / extent) * 1023.0, 0, 1023).astype(np.uint32)
+    codes = morton3d(q[:, 0], q[:, 1], q[:, 2])
+    return np.argsort(codes, kind="stable")
+
+
+@dataclass
+class MeshClusters:
+    """Cluster (meshlet) table for one mesh primitive.
+
+    Triangles are stored re-ordered so each cluster's triangles are
+    contiguous; `tri_vidx` indexes the primitive's vertex list.
+    """
+
+    tri_vidx: np.ndarray  # (T, 3) u32, Morton-reordered
+    cluster_offset: np.ndarray  # (C,) u32 first-tri index
+    cluster_count: np.ndarray  # (C,) u32 tri count (<= MAX_MESHLET_TRIANGLES)
+    aabb_min: np.ndarray  # (C, 3) f32 object space
+    aabb_max: np.ndarray  # (C, 3) f32
+    cone_apex: np.ndarray  # (C, 3) f32 (bounding sphere center)
+    cone_axis: np.ndarray  # (C, 3) f32 average facet normal
+    cone_cutoff: np.ndarray  # (C,) f32 cos(angle)+safety, like meshopt cones
+    sphere_radius: np.ndarray  # (C,) f32
+
+
+def build_clusters(
+    positions: np.ndarray,
+    indices: np.ndarray,
+    max_tris: int = MAX_MESHLET_TRIANGLES,
+) -> MeshClusters:
+    """Cluster a triangle mesh into spatially-coherent meshlets."""
+    tris = indices.reshape(-1, 3).astype(np.uint32)
+    v = positions.astype(np.float32)
+    p0, p1, p2 = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
+    centroids = (p0 + p1 + p2) / 3.0
+    order = morton_order(centroids)
+    tris = tris[order]
+    p0, p1, p2 = p0[order], p1[order], p2[order]
+
+    n_tris = len(tris)
+    n_clusters = max(1, -(-n_tris // max_tris))
+    offsets = (np.arange(n_clusters) * max_tris).astype(np.uint32)
+    counts = np.minimum(n_tris - offsets, max_tris).astype(np.uint32)
+
+    aabb_min = np.empty((n_clusters, 3), np.float32)
+    aabb_max = np.empty((n_clusters, 3), np.float32)
+    cone_apex = np.empty((n_clusters, 3), np.float32)
+    cone_axis = np.empty((n_clusters, 3), np.float32)
+    cone_cutoff = np.empty(n_clusters, np.float32)
+    sphere_radius = np.empty(n_clusters, np.float32)
+
+    # facet normals (unnormalised = area weighted)
+    fn = np.cross(p1 - p0, p2 - p0)
+    fn_len = np.linalg.norm(fn, axis=1, keepdims=True)
+    fn_unit = fn / np.maximum(fn_len, 1e-20)
+
+    for c in range(n_clusters):
+        s, e = offsets[c], offsets[c] + counts[c]
+        pts = np.concatenate([p0[s:e], p1[s:e], p2[s:e]], axis=0)
+        mn, mx = pts.min(axis=0), pts.max(axis=0)
+        aabb_min[c], aabb_max[c] = mn, mx
+        center = (mn + mx) * 0.5
+        cone_apex[c] = center
+        sphere_radius[c] = float(np.linalg.norm(pts - center, axis=1).max())
+        axis = fn[s:e].sum(axis=0)
+        alen = np.linalg.norm(axis)
+        if alen < 1e-12:
+            cone_axis[c] = np.array([0, 0, 1], np.float32)
+            cone_cutoff[c] = 1.0  # degenerate: never cone-cull
+            continue
+        axis = axis / alen
+        cone_axis[c] = axis
+        # Cutoff = cos of max deviation between axis and any facet normal;
+        # cutoff >= 1 disables culling (meshopt convention: cull when
+        # dot(view, axis) >= cutoff never holds).
+        min_dot = float(np.dot(fn_unit[s:e], axis).min())
+        if min_dot <= 0.0:
+            cone_cutoff[c] = 1.0
+        else:
+            # cos(a+90deg) margin like meshopt: sqrt(1-mindot^2) bound
+            cone_cutoff[c] = float(np.sqrt(1.0 - min_dot * min_dot))
+
+    return MeshClusters(
+        tri_vidx=tris,
+        cluster_offset=offsets,
+        cluster_count=counts,
+        aabb_min=aabb_min,
+        aabb_max=aabb_max,
+        cone_apex=cone_apex,
+        cone_axis=cone_axis,
+        cone_cutoff=cone_cutoff,
+        sphere_radius=sphere_radius,
+    )

@@ -1,0 +1,167 @@
+"""World texture storage: the TPU "bindless" emulation.
+
+The reference binds a variable-count descriptor array of BC7 textures
+(WorldData.cpp:1758-1776) sampled by packed Texture2DSampler handles.
+TPUs have no samplers or descriptor arrays, and BC7 is not sampleable —
+so (SURVEY.md §7 hard part 4) all texture mips live in ONE flat uint32
+arena (RGBA8 packed per texel) addressed through a (texture, mip) offset
+table; sampling is a gather + in-kernel sRGB decode + bilinear filter
+(ops/texture.py). Slot 0 is the neutral 1px default texture, matching the
+reference's default at index 0 (WorldData.cpp:726-755).
+
+Mip chains are generated on the host in linear space (box filter), the
+analog of Texture2D::init's CPU mip generation (Texture.cpp:166-298);
+the BC7 encode step is intentionally replaced by packed RGBA8 (cache
+architecture kept, codec swapped).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.image import load_image_rgba8
+from .gltf import GltfDocument
+
+MAX_MIPS = 13  # up to 4096^2
+
+
+def _srgb_to_linear_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.float32) / 255.0
+    return np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb_np(x: np.ndarray) -> np.ndarray:
+    y = np.where(x <= 0.0031308, x * 12.92, 1.055 * np.maximum(x, 1e-12) ** (1 / 2.4) - 0.055)
+    return np.clip(y * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+def generate_mips(img: np.ndarray, srgb: bool) -> list[np.ndarray]:
+    """Full mip chain by 2x2 box filter in linear space (alpha linear)."""
+    mips = [img]
+    cur = img
+    if srgb:
+        lin = np.concatenate(
+            [_srgb_to_linear_np(cur[..., :3]), cur[..., 3:].astype(np.float32) / 255.0],
+            axis=-1,
+        )
+    else:
+        lin = cur.astype(np.float32) / 255.0
+    while min(lin.shape[0], lin.shape[1]) > 1:
+        h, w = lin.shape[:2]
+        nh, nw = max(h // 2, 1), max(w // 2, 1)
+        lin = lin[: nh * 2, : nw * 2]
+        lin = (
+            lin.reshape(nh, 2, nw, 2, 4).mean(axis=(1, 3))
+            if h > 1 and w > 1
+            else lin.reshape(nh, -1, nw, 1, 4).mean(axis=(1, 3))
+        )
+        if srgb:
+            m8 = np.concatenate(
+                [
+                    _linear_to_srgb_np(lin[..., :3]),
+                    np.clip(lin[..., 3:] * 255.0 + 0.5, 0, 255).astype(np.uint8),
+                ],
+                axis=-1,
+            )
+        else:
+            m8 = np.clip(lin * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        mips.append(m8)
+    return mips
+
+
+def pack_rgba8(img: np.ndarray) -> np.ndarray:
+    """(H, W, 4) u8 -> (H*W,) u32 (R in low byte)."""
+    i = img.astype(np.uint32)
+    return (
+        i[..., 0] | (i[..., 1] << 8) | (i[..., 2] << 16) | (i[..., 3] << 24)
+    ).reshape(-1)
+
+
+@dataclass
+class TextureArena:
+    data: np.ndarray  # (N,) u32 flat texel arena
+    # table[t, m] = (offset, width, height, flags) ; flags bit0 = srgb
+    table: np.ndarray  # (T, MAX_MIPS, 4) i32
+    n_mips: np.ndarray  # (T,) i32
+
+    def uniforms(self) -> dict[str, np.ndarray]:
+        return {"data": self.data, "table": self.table, "n_mips": self.n_mips}
+
+
+def build_texture_arena(
+    doc: GltfDocument, max_dim: int | None = None
+) -> TextureArena:
+    """Decode all scene images, mip them, pack into the flat arena.
+
+    Slot 0: 1px white default. Image i -> slot i+1 (material tables already
+    use the +1 convention).
+    """
+    color_spaces = doc.image_color_spaces()
+    chunks: list[np.ndarray] = []
+    n_tex = len(doc.images) + 1
+    table = np.zeros((n_tex, MAX_MIPS, 4), np.int32)
+    n_mips = np.zeros(n_tex, np.int32)
+    offset = 0
+
+    def add_texture(slot: int, img: np.ndarray, srgb: bool) -> None:
+        nonlocal offset
+        mips = generate_mips(img, srgb)[:MAX_MIPS]
+        n_mips[slot] = len(mips)
+        for m, mip in enumerate(mips):
+            h, w = mip.shape[:2]
+            table[slot, m] = (offset, w, h, 1 if srgb else 0)
+            chunks.append(pack_rgba8(mip))
+            offset += h * w
+        # clamp table tail to last mip for out-of-range lods
+        for m in range(len(mips), MAX_MIPS):
+            table[slot, m] = table[slot, len(mips) - 1]
+
+    # default: 1px white, linear
+    add_texture(0, np.full((1, 1, 4), 255, np.uint8), srgb=False)
+
+    import os
+
+    # neutral fallbacks when an image file is missing: flat normal for
+    # normal maps, white otherwise
+    normal_images = {
+        m.normal_texture.image for m in doc.materials if m.normal_texture.image >= 0
+    }
+
+    def neutral(i: int) -> np.ndarray:
+        if i in normal_images:
+            return np.array([[[128, 128, 255, 255]]], np.uint8)
+        return np.full((1, 1, 4), 255, np.uint8)
+
+    for i, img_spec in enumerate(doc.images):
+        if img_spec.uri is not None:
+            path = os.path.join(doc.base_dir, img_spec.uri)
+            if os.path.exists(path):
+                img = load_image_rgba8(path)
+            else:
+                img = neutral(i)
+        elif img_spec.data is not None:
+            from PIL import Image
+
+            with Image.open(io.BytesIO(img_spec.data)) as im:
+                img = np.asarray(im.convert("RGBA"), np.uint8)
+        else:
+            img = neutral(i)
+        if max_dim is not None and max(img.shape[:2]) > max_dim:
+            from PIL import Image
+
+            h, w = img.shape[:2]
+            scale = max_dim / max(h, w)
+            im = Image.fromarray(img).resize(
+                (max(int(w * scale), 1), max(int(h * scale), 1)), Image.LANCZOS
+            )
+            img = np.asarray(im, np.uint8)
+        add_texture(i + 1, img, srgb=color_spaces[i] == "srgb")
+
+    return TextureArena(
+        data=np.concatenate(chunks).astype(np.uint32),
+        table=table,
+        n_mips=n_mips,
+    )

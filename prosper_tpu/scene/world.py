@@ -1,0 +1,398 @@
+"""World: glTF scene -> flat TPU-resident scene arrays + per-frame updates.
+
+The reference's World/WorldData own all GPU scene data and drive per-frame
+updates (updateAnimations -> updateScene -> updateBuffers ->
+buildAccelerationStructures; /root/reference/src/scene/World.cpp:349-575).
+This module is the TPU-native equivalent:
+
+- Geometry is flattened per DrawInstance into padded 128-triangle cluster
+  tiles (the meshlet analog) in one arena; object-space positions are
+  re-transformed to world space on device each frame (one fused batched
+  transform), which is our "TLAS rebuilt every frame"
+  (World.cpp:749-802) — animation/instancing parity with zero host copies
+  of triangle data.
+- A shallow cluster BVH is rebuilt per frame on the host (numpy) from
+  conservatively transformed cluster AABBs; leaf ranges are 128-aligned so
+  traversal kernels see perfectly regular tiles.
+- Materials/lights/camera are SoA pytrees, uploaded per frame like the
+  reference's ring buffers (RingBuffer.hpp:14-76).
+
+DrawInstance {modelInstanceIndex, meshIndex, materialIndex} parity:
+shader_structs/scene/draw_instance.h; submodels flattened in scene order
+like World::updateBuffers (World.cpp:500-503 order constraint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..accel.bvh import Bvh, build_bvh, transform_aabbs
+from ..utils.logger import log_info
+from . import animation as anim
+from .camera import Camera, CameraParameters, CameraTransform
+from .gltf import GltfDocument, load_gltf
+from .lights import LightArrays, light_uniforms, load_lights
+from .meshlets import CLUSTER_TRI_PAD, MeshClusters, build_clusters
+from .scene_graph import SceneGraph, build_scene_graph, update_scene
+
+_INVALID = np.uint32(0xFFFFFFFF)
+
+
+@dataclass
+class MeshData:
+    """Per flat mesh (glTF primitive): cluster table + vertex attributes."""
+
+    clusters: MeshClusters
+    positions: np.ndarray  # (V, 3) f32 object space
+    normals: np.ndarray  # (V, 3) f32
+    tangents: np.ndarray  # (V, 4) f32 xyz + sign
+    uv0: np.ndarray  # (V, 2) f32
+    material: int  # flat material index (0 = default)
+    vertex_count: int = 0
+
+    def __post_init__(self) -> None:
+        self.vertex_count = len(self.positions)
+
+
+def _smooth_normals(positions: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    n = np.zeros_like(positions)
+    p0, p1, p2 = (positions[tris[:, i]] for i in range(3))
+    fn = np.cross(p1 - p0, p2 - p0)  # area weighted
+    for i in range(3):
+        np.add.at(n, tris[:, i], fn)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.maximum(ln, 1e-20)).astype(np.float32)
+
+
+def _default_tangents(normals: np.ndarray) -> np.ndarray:
+    """Deterministic tangent frame for meshes without TANGENT/uv-based
+    tangents; full MikkTSpace generation is in scene/tangents.py."""
+    n = normals
+    ref = np.where(
+        (np.abs(n[:, 1:2]) < 0.99), np.array([[0.0, 1.0, 0.0]]), np.array([[1.0, 0.0, 0.0]])
+    )
+    t = np.cross(ref, n)
+    t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-20)
+    return np.concatenate([t, np.ones((len(n), 1))], axis=1).astype(np.float32)
+
+
+@dataclass
+class MaterialTable:
+    """SoA MaterialData (shader_structs/scene/material_data.h:52-66).
+
+    Index 0 is the default material like WorldData::loadMaterials
+    (WorldData.cpp:760 pushes a default first).
+    Texture indices are into the world texture array; 0 = neutral default
+    (1px white / flat normal), matching the reference's default texture
+    at index 0 (WorldData.cpp:726-755).
+    """
+
+    base_color_factor: np.ndarray
+    metallic_factor: np.ndarray
+    roughness_factor: np.ndarray
+    alpha_cutoff: np.ndarray
+    alpha_mode: np.ndarray  # 0 opaque / 1 mask / 2 blend
+    base_color_tex: np.ndarray  # i32, 0 = none/default
+    metallic_roughness_tex: np.ndarray
+    normal_tex: np.ndarray
+
+    def uniforms(self) -> dict[str, np.ndarray]:
+        return {
+            "base_color_factor": self.base_color_factor,
+            "metallic_factor": self.metallic_factor,
+            "roughness_factor": self.roughness_factor,
+            "alpha_cutoff": self.alpha_cutoff,
+            "alpha_mode": self.alpha_mode,
+            "base_color_tex": self.base_color_tex,
+            "metallic_roughness_tex": self.metallic_roughness_tex,
+            "normal_tex": self.normal_tex,
+        }
+
+
+def _build_materials(doc: GltfDocument) -> MaterialTable:
+    n = len(doc.materials) + 1
+    mt = MaterialTable(
+        base_color_factor=np.ones((n, 4), np.float32),
+        metallic_factor=np.ones(n, np.float32),
+        roughness_factor=np.ones(n, np.float32),
+        alpha_cutoff=np.full(n, 0.5, np.float32),
+        alpha_mode=np.zeros(n, np.int32),
+        base_color_tex=np.zeros(n, np.int32),
+        metallic_roughness_tex=np.zeros(n, np.int32),
+        normal_tex=np.zeros(n, np.int32),
+    )
+    for i, m in enumerate(doc.materials):
+        j = i + 1
+        mt.base_color_factor[j] = m.base_color_factor
+        mt.metallic_factor[j] = m.metallic_factor
+        mt.roughness_factor[j] = m.roughness_factor
+        mt.alpha_cutoff[j] = m.alpha_cutoff
+        mt.alpha_mode[j] = m.alpha_mode
+        # +1: world texture array slot 0 is the neutral default
+        mt.base_color_tex[j] = m.base_color_texture.image + 1
+        mt.metallic_roughness_tex[j] = m.metallic_roughness_texture.image + 1
+        mt.normal_tex[j] = m.normal_texture.image + 1
+    return mt
+
+
+@dataclass
+class DrawInstances:
+    """Flat draw list (DrawInstance parity)."""
+
+    model_instance: np.ndarray  # (D,) u32
+    mesh: np.ndarray  # (D,) u32 flat primitive index
+    material: np.ndarray  # (D,) u32
+
+
+class World:
+    """Owns scene data and produces the per-frame GpuScene pytree."""
+
+    def __init__(self, path: str, scene_index: int | None = None) -> None:
+        log_info("Loading world %s", path)
+        self.doc: GltfDocument = load_gltf(path)
+        self.graph: SceneGraph = build_scene_graph(self.doc, scene_index)
+        self.lights: LightArrays = load_lights(self.doc)
+        self.materials: MaterialTable = _build_materials(self.doc)
+
+        # Flatten mesh primitives into the reference's flat mesh list
+        # (one "mesh" per glTF primitive, WorldData::loadModels).
+        self.meshes: list[MeshData] = []
+        self.model_first_mesh: list[int] = []  # per glTF mesh: first flat index
+        for gltf_mesh in self.doc.meshes:
+            self.model_first_mesh.append(len(self.meshes))
+            for prim in gltf_mesh.primitives:
+                tris = prim.indices.reshape(-1, 3).astype(np.uint32)
+                normals = (
+                    prim.normals
+                    if prim.normals is not None
+                    else _smooth_normals(prim.positions, tris)
+                )
+                tangents = (
+                    prim.tangents
+                    if prim.tangents is not None
+                    else _default_tangents(normals)
+                )
+                uv0 = (
+                    prim.uv0
+                    if prim.uv0 is not None
+                    else np.zeros((len(prim.positions), 2), np.float32)
+                )
+                clusters = build_clusters(prim.positions, prim.indices)
+                self.meshes.append(
+                    MeshData(
+                        clusters=clusters,
+                        positions=prim.positions,
+                        normals=normals.astype(np.float32),
+                        tangents=tangents.astype(np.float32),
+                        uv0=uv0.astype(np.float32),
+                        material=prim.material + 1,
+                    )
+                )
+        self.model_first_mesh.append(len(self.meshes))
+
+        # Vertex-attribute arena (GeometryMetadata-style offsets).
+        self.mesh_vertex_offset = np.zeros(len(self.meshes) + 1, np.int64)
+        for i, m in enumerate(self.meshes):
+            self.mesh_vertex_offset[i + 1] = self.mesh_vertex_offset[i] + m.vertex_count
+        self.a_normal = np.concatenate([m.normals for m in self.meshes])
+        self.a_tangent = np.concatenate([m.tangents for m in self.meshes])
+        self.a_uv = np.concatenate([m.uv0 for m in self.meshes])
+        self.a_position = np.concatenate([m.positions for m in self.meshes])
+
+        # Draw instances: scene-order flattening of submodels
+        # (World.cpp:500-503: order must stay stable for TLAS custom indices).
+        mi_nodes = self.graph.model_instance_nodes
+        di_model_instance, di_mesh, di_material = [], [], []
+        for inst, node_idx in enumerate(mi_nodes):
+            gltf_mesh = self.graph.nodes[node_idx].mesh
+            first = self.model_first_mesh[gltf_mesh]
+            last = self.model_first_mesh[gltf_mesh + 1]
+            for mesh_idx in range(first, last):
+                di_model_instance.append(inst)
+                di_mesh.append(mesh_idx)
+                di_material.append(self.meshes[mesh_idx].material)
+        self.draw_instances = DrawInstances(
+            model_instance=np.array(di_model_instance, np.uint32),
+            mesh=np.array(di_mesh, np.uint32),
+            material=np.array(di_material, np.uint32),
+        )
+
+        self._build_world_tri_arena()
+
+        # Camera defaults (CameraTransform/Parameters defaults,
+        # Camera.hpp:22-48) possibly overridden by a scene camera each frame.
+        self.camera_params = CameraParameters()
+        if self.doc.cameras:
+            c = self.doc.cameras[0]
+            self.camera_params = CameraParameters(
+                fov=c.yfov, z_near=c.znear, z_far=min(c.zfar, 10_000.0)
+            )
+
+        self.animation_channels = (
+            self.doc.animations[0] if self.doc.animations else []
+        )
+        self.animation_end_time = anim.animations_end_time(self.animation_channels)
+
+        log_info(
+            "World: %d meshes, %d draw instances, %d world clusters, %d tris (padded %d)",
+            len(self.meshes),
+            len(self.draw_instances.mesh),
+            self.n_world_clusters,
+            self.n_real_tris,
+            self.n_world_tris,
+        )
+
+    # ------------------------------------------------------------------
+    def _build_world_tri_arena(self) -> None:
+        """Static flattened per-DrawInstance geometry, padded to 128-tri tiles.
+
+        Arena slot layout: world cluster c occupies tris
+        [c*128, c*128+128); real tris first, degenerate (zero) padding after.
+        """
+        di = self.draw_instances
+        pad = CLUSTER_TRI_PAD
+        # count world clusters
+        counts = [len(self.meshes[m].clusters.cluster_offset) for m in di.mesh]
+        self.n_world_clusters = int(np.sum(counts))
+        n_slots = self.n_world_clusters * pad
+
+        wt_p0 = np.zeros((n_slots, 3), np.float32)
+        wt_p1 = np.zeros((n_slots, 3), np.float32)
+        wt_p2 = np.zeros((n_slots, 3), np.float32)
+        wt_aidx = np.zeros((n_slots, 3), np.uint32)
+        wt_valid = np.zeros(n_slots, bool)
+
+        wc_instance = np.zeros(self.n_world_clusters, np.uint32)
+        wc_mesh = np.zeros(self.n_world_clusters, np.uint32)
+        wc_material = np.zeros(self.n_world_clusters, np.uint32)
+        wc_local = np.zeros(self.n_world_clusters, np.uint32)  # cluster in mesh
+        wc_aabb_min = np.zeros((self.n_world_clusters, 3), np.float32)
+        wc_aabb_max = np.zeros((self.n_world_clusters, 3), np.float32)
+
+        n_real = 0
+        c_global = 0
+        for d in range(len(di.mesh)):
+            mesh_idx = int(di.mesh[d])
+            inst = int(di.model_instance[d])
+            mesh = self.meshes[mesh_idx]
+            cl = mesh.clusters
+            voff = int(self.mesh_vertex_offset[mesh_idx])
+            for local_c in range(len(cl.cluster_offset)):
+                s = int(cl.cluster_offset[local_c])
+                cnt = int(cl.cluster_count[local_c])
+                tris = cl.tri_vidx[s : s + cnt]
+                base = c_global * pad
+                wt_p0[base : base + cnt] = mesh.positions[tris[:, 0]]
+                wt_p1[base : base + cnt] = mesh.positions[tris[:, 1]]
+                wt_p2[base : base + cnt] = mesh.positions[tris[:, 2]]
+                wt_aidx[base : base + cnt] = tris + np.uint32(voff)
+                wt_valid[base : base + cnt] = True
+                wc_instance[c_global] = inst
+                wc_mesh[c_global] = mesh_idx
+                wc_material[c_global] = mesh.material
+                wc_local[c_global] = local_c
+                wc_aabb_min[c_global] = cl.aabb_min[local_c]
+                wc_aabb_max[c_global] = cl.aabb_max[local_c]
+                n_real += cnt
+                c_global += 1
+
+        self.n_real_tris = n_real
+        self.n_world_tris = n_slots
+        self.wt_p0, self.wt_p1, self.wt_p2 = wt_p0, wt_p1, wt_p2
+        self.wt_aidx = wt_aidx
+        self.wt_valid = wt_valid
+        self.wc_instance = wc_instance
+        self.wc_mesh = wc_mesh
+        self.wc_material = wc_material
+        self.wc_aabb_min_obj = wc_aabb_min
+        self.wc_aabb_max_obj = wc_aabb_max
+        # per-tri instance/material (cluster-uniform, broadcast to slots)
+        self.wt_instance = np.repeat(wc_instance, pad)
+        self.wt_material = np.repeat(wc_material, pad)
+
+    # ------------------------------------------------------------------
+    def static_scene_arrays(self) -> dict[str, np.ndarray]:
+        """Arrays that do not change frame to frame (upload once)."""
+        return {
+            "wt_p0": self.wt_p0,
+            "wt_p1": self.wt_p1,
+            "wt_p2": self.wt_p2,
+            "wt_aidx": self.wt_aidx.astype(np.int32),
+            "wt_instance": self.wt_instance.astype(np.int32),
+            "wt_material": self.wt_material.astype(np.int32),
+            "a_normal": self.a_normal,
+            "a_tangent": self.a_tangent,
+            "a_uv": self.a_uv,
+            "materials": self.materials.uniforms(),
+        }
+
+    def frame_arrays(self, time_s: float = 0.0) -> dict:
+        """Per-frame scene state: transforms, lights, BVH (TLAS analog)."""
+        animated = anim.update_animations(self.animation_channels, time_s)
+        st = update_scene(self.graph, animated)
+
+        # lights positions/directions from the graph
+        la = self.lights
+        if st.dir_light_direction is not None:
+            la.dir_direction = st.dir_light_direction
+        la.point_position[: len(st.point_positions)] = st.point_positions
+        la.spot_position[: len(st.spot_positions)] = st.spot_positions
+        la.spot_direction[: len(st.spot_directions)] = st.spot_directions
+
+        # World-space cluster AABBs -> BVH rebuild (per-frame TLAS parity)
+        n_inst = max(len(st.model_to_world), 1)
+        m2w = (
+            st.model_to_world
+            if len(st.model_to_world)
+            else np.eye(4, dtype=np.float32)[None]
+        )
+        wmin = np.empty_like(self.wc_aabb_min_obj)
+        wmax = np.empty_like(self.wc_aabb_max_obj)
+        for inst in range(n_inst):
+            sel = self.wc_instance == inst
+            if not np.any(sel):
+                continue
+            wmin[sel], wmax[sel] = transform_aabbs(
+                self.wc_aabb_min_obj[sel], self.wc_aabb_max_obj[sel], m2w[inst]
+            )
+        bvh: Bvh = build_bvh(wmin, wmax, max_leaf_size=1)
+
+        # Leaf slots point at 128-aligned tri ranges in the static arena.
+        leaf_tri_offset = (bvh.order.astype(np.int32) * CLUSTER_TRI_PAD)
+
+        transforms = m2w[:, :3, :4].astype(np.float32)
+        normal_ms = (
+            st.normal_to_world[:, :3, :3].astype(np.float32)
+            if len(st.normal_to_world)
+            else np.eye(3, dtype=np.float32)[None]
+        )
+
+        return {
+            "wc_aabb_min_w": wmin,  # (C, 3) world-space cluster AABBs
+            "wc_aabb_max_w": wmax,
+            "transforms": transforms,  # (I, 3, 4)
+            "normal_transforms": normal_ms,  # (I, 3, 3)
+            "bvh_min": bvh.nodes_min,
+            "bvh_max": bvh.nodes_max,
+            "bvh_left": bvh.nodes_left,
+            "bvh_right": bvh.nodes_right,
+            "bvh_first": bvh.nodes_first,
+            "bvh_count": bvh.nodes_count,
+            "bvh_depth": bvh.depth,
+            "leaf_tri_offset": leaf_tri_offset,
+            "lights": light_uniforms(la),
+            "scene_camera": st.camera,
+        }
+
+    def make_camera(
+        self, resolution: tuple[int, int], apply_jitter: bool = False
+    ) -> Camera:
+        cam = Camera(resolution, self.camera_params, apply_jitter=apply_jitter)
+        st = update_scene(self.graph, {})
+        if st.camera is not None:
+            cam.look_at(
+                CameraTransform(eye=st.camera.eye, target=st.camera.target, up=st.camera.up)
+            )
+        return cam
