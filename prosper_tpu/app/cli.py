@@ -71,7 +71,11 @@ def main(argv: list[str] | None = None) -> int:
                 setattr(args, k, v)
 
     if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
+        # env vars are overridden by this environment's sitecustomize;
+        # jax.config is authoritative
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import jax.numpy as jnp
 

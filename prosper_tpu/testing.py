@@ -1,0 +1,143 @@
+"""Procedural test scenes: tiny self-contained scene pytrees for unit
+tests, the graft entry, and sharding dry-runs (no glTF file needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .accel.bvh import build_bvh
+from .scene.camera import Camera, CameraParameters, CameraTransform
+from .scene.lights import LightArrays, light_uniforms
+from .scene.meshlets import CLUSTER_TRI_PAD
+
+
+def make_test_scene(n_boxes: int = 4, seed: int = 0):
+    """A grid of axis-aligned boxes (12 tris each), one cluster per box.
+
+    Returns (static, frame, arena, cam_fn) where cam_fn(w, h) builds
+    camera uniforms looking at the grid.
+    """
+    rng = np.random.default_rng(seed)
+    pad = CLUSTER_TRI_PAD
+
+    # unit cube triangles
+    corners = np.array(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)], np.float32
+    )
+    faces = [
+        (0, 1, 3, 2),  # x=0
+        (4, 6, 7, 5),  # x=1
+        (0, 4, 5, 1),  # y=0
+        (2, 3, 7, 6),  # y=1
+        (0, 2, 6, 4),  # z=0
+        (1, 5, 7, 3),  # z=1
+    ]
+    tris = []
+    for a, b, c, d in faces:
+        tris.append((a, b, c))
+        tris.append((a, c, d))
+    tris = np.array(tris, np.int32)
+
+    n_clusters = n_boxes
+    S = n_clusters * pad
+    wt_p0 = np.zeros((S, 3), np.float32)
+    wt_p1 = np.zeros((S, 3), np.float32)
+    wt_p2 = np.zeros((S, 3), np.float32)
+    wt_aidx = np.zeros((S, 3), np.int32)
+    wc_min = np.zeros((n_clusters, 3), np.float32)
+    wc_max = np.zeros((n_clusters, 3), np.float32)
+
+    a_normal = []
+    a_tangent = []
+    a_uv = []
+    v_off = 0
+    for b in range(n_boxes):
+        origin = np.array([(b % 2) * 2.0 - 1.0, 0.0, (b // 2) * 2.0 - 1.0]) * 1.5
+        verts = corners * 0.8 + origin
+        base = b * pad
+        wt_p0[base : base + 12] = verts[tris[:, 0]]
+        wt_p1[base : base + 12] = verts[tris[:, 1]]
+        wt_p2[base : base + 12] = verts[tris[:, 2]]
+        wt_aidx[base : base + 12] = tris + v_off
+        wc_min[b] = verts.min(axis=0)
+        wc_max[b] = verts.max(axis=0)
+        n = verts - verts.mean(axis=0)
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        a_normal.append(n.astype(np.float32))
+        t = np.cross(np.array([0.0, 1.0, 0.0]), n)
+        t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-9)
+        a_tangent.append(
+            np.concatenate([t, np.ones((8, 1))], axis=1).astype(np.float32)
+        )
+        a_uv.append(rng.random((8, 2), dtype=np.float32))
+        v_off += 8
+
+    materials = {
+        "base_color_factor": np.array(
+            [[1, 1, 1, 1], [0.8, 0.4, 0.3, 1.0]], np.float32
+        ),
+        "metallic_factor": np.array([1.0, 0.1], np.float32),
+        "roughness_factor": np.array([1.0, 0.7], np.float32),
+        "alpha_cutoff": np.array([0.5, 0.5], np.float32),
+        "alpha_mode": np.array([0, 0], np.int32),
+        "base_color_tex": np.array([0, 0], np.int32),
+        "metallic_roughness_tex": np.array([0, 0], np.int32),
+        "normal_tex": np.array([0, 0], np.int32),
+    }
+
+    static = {
+        "wt_p0": wt_p0,
+        "wt_p1": wt_p1,
+        "wt_p2": wt_p2,
+        "wt_aidx": wt_aidx,
+        "wt_instance": np.zeros(S, np.int32),
+        "wt_material": np.ones(S, np.int32),
+        "a_normal": np.concatenate(a_normal),
+        "a_tangent": np.concatenate(a_tangent),
+        "a_uv": np.concatenate(a_uv),
+        "materials": materials,
+    }
+
+    bvh = build_bvh(wc_min, wc_max, max_leaf_size=1)
+    lights = LightArrays()
+    lights.point_radiance[0] = [30.0, 25.0, 20.0]
+    lights.point_position[0] = [0.0, 3.0, 0.0]
+    lights.point_radius[0] = 50.0
+    lights.point_count = 1
+
+    frame = {
+        "wc_aabb_min_w": wc_min,
+        "wc_aabb_max_w": wc_max,
+        "transforms": np.eye(4, dtype=np.float32)[None, :3, :4],
+        "normal_transforms": np.eye(3, dtype=np.float32)[None],
+        "bvh_min": bvh.nodes_min,
+        "bvh_max": bvh.nodes_max,
+        "bvh_left": bvh.nodes_left,
+        "bvh_right": bvh.nodes_right,
+        "bvh_first": bvh.nodes_first,
+        "bvh_count": bvh.nodes_count,
+        "leaf_tri_offset": (bvh.order.astype(np.int32) * pad),
+        "lights": light_uniforms(lights),
+    }
+
+    # 1px white default texture arena
+    arena = {
+        "data": np.array([0xFFFFFFFF], np.uint32),
+        "table": np.zeros((1, 13, 4), np.int32)
+        + np.array([0, 1, 1, 0], np.int32)[None, None, :],
+        "n_mips": np.ones(1, np.int32),
+    }
+
+    def cam_fn(width: int, height: int) -> dict:
+        cam = Camera(
+            (width, height),
+            CameraParameters(),
+            CameraTransform(
+                eye=np.array([4.0, 3.5, 4.5], np.float32),
+                target=np.array([0.0, 0.3, 0.0], np.float32),
+                up=np.array([0.0, 1.0, 0.0], np.float32),
+            ),
+        )
+        return cam.uniforms()
+
+    return static, frame, arena, cam_fn
