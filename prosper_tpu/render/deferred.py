@@ -1,0 +1,109 @@
+"""Deferred shading: G-buffer + clustered lights -> illumination.
+
+Parity with /root/reference/res/shader/deferred_shading.comp: world-pos
+reconstruction from depth, G-buffer decode, directional + clustered
+point/spot evaluation, optional IBL. The froxel lists come from
+ops/clustering.py (light_clustering.comp analog).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..mathx.packing import signed_oct_decode
+from ..ops.clustering import build_light_clusters, eval_clustered_lights
+from ..ops.tonemap import tone_map
+from .shading import eval_directional_light
+
+
+def shade_deferred(
+    gbuf: dict,
+    clusters: dict,
+    lights: dict,
+    cam: dict,
+    width: int,
+    height: int,
+):
+    """Clustered deferred shading over the flat G-buffer."""
+    R = width * height
+    px = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
+
+    # decode G-buffer exactly like loadFromGbuffer (visible_surface.glsl)
+    albedo = gbuf["albedo_roughness"][..., :3]
+    roughness = gbuf["albedo_roughness"][..., 3]
+    normal = signed_oct_decode(gbuf["normal_metallic"][..., :3])
+    metallic = gbuf["normal_metallic"][..., 3]
+
+    pos = gbuf["position_ws"]
+    inv_view = cam["eye"] - pos
+    inv_view = inv_view / jnp.maximum(
+        jnp.linalg.norm(inv_view, axis=-1, keepdims=True), 1e-20
+    )
+
+    surface = {
+        "position_ws": pos,
+        "normal_ws": normal,
+        "inv_view_ray": inv_view,
+        "albedo": albedo,
+        "roughness": roughness,
+        "metallic": metallic,
+        "NoV": jnp.clip(jnp.sum(normal * inv_view, axis=-1), 0.0, 1.0),
+    }
+
+    color = eval_directional_light(surface, lights)
+    color = color + eval_clustered_lights(
+        surface,
+        lights,
+        clusters,
+        px,
+        py,
+        gbuf["z_cam"],
+        cam["near"],
+        cam["far"],
+    )
+    return jnp.where(gbuf["valid"][..., None], color, 0.0)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def render_deferred(
+    static_scene: dict,
+    frame: dict,
+    arena: dict,
+    cam: dict,
+    lut: jnp.ndarray,
+    width: int,
+    height: int,
+    exposure: float = 1.0,
+    contrast: float = 1.0,
+):
+    from .gbuffer import render_gbuffer
+
+    gbuf = render_gbuffer(static_scene, frame, arena, cam, width, height)
+    clusters = build_light_clusters(cam, frame["lights"], width, height)
+    color = shade_deferred(gbuf, clusters, frame["lights"], cam, width, height)
+    img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
+    return img, gbuf
+
+
+def deferred_entry(
+    *,
+    static,
+    frame,
+    arena,
+    cam,
+    lut,
+    width,
+    height,
+    exposure=1.0,
+    contrast=1.0,
+    state=None,
+    **_,
+):
+    img, _gbuf = render_deferred(
+        static, frame, arena, cam, lut, width, height, exposure, contrast
+    )
+    return img, state
