@@ -1,0 +1,292 @@
+"""ReSTIR DI: initial reservoirs -> biased spatial reuse -> traced shading.
+
+Parity with /root/reference/res/shader/restir_di/ and
+rt/direct_illumination/main.rgen (Wyman et al. course-notes formulation):
+- InitialReservoirs: 5 uniform light candidates, streaming RIS with
+  misWeight 1/M and UCW = lightCount; reservoir = {lightIndex, W}
+  (initial_reservoirs.comp:31-60)
+- SpatialReuse (biased): 5 samples in a 30px disk, <=5 rejection tries
+  each; 10% linear-depth and 25deg (dot 0.9) normal heuristics; MIS
+  weight 1/validSampleCount (spatial_reuse.comp:33-137)
+- Trace: shadow ray on the winning sample x unbiasedContributionWeight,
+  running-mean accumulation (main.rgen:87-161)
+- Every pass reseeds pcg_state = (px, py, frameIndex) like the separate
+  GLSL dispatches; data-dependent RNG advances (the rejection loop, the
+  valid-sample-only resampling) are reproduced with per-pixel masked
+  state advances.
+
+pHat = luminance(irradiance * BRDF * NoL) without visibility
+(resampling_phat.glsl).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mathx import rng as prng
+from ..mathx.color import luminance
+from ..mathx.packing import signed_oct_decode
+from ..ops import trace
+from ..ops.brdf import eval_brdf_times_nol
+from ..ops.tonemap import tone_map
+from .shading import sample_light
+
+INITIAL_CANDIDATES = 5
+SPATIAL_SAMPLES = 5
+SPATIAL_RADIUS = 30.0
+MAX_TRIES = 5
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _p_hat(surface: dict, lights: dict, light_index: jnp.ndarray):
+    l, _, irr = sample_light(lights, light_index, surface["position_ws"])
+    brdf = eval_brdf_times_nol(
+        l,
+        surface["inv_view_ray"],
+        surface["normal_ws"],
+        surface["albedo"],
+        surface["roughness"],
+        surface["metallic"],
+    )
+    return luminance(irr * brdf)
+
+
+def initial_reservoirs(surface: dict, lights: dict, px, py, frame_index):
+    """(R,) light index (-1 invalid) + (R,) UCW."""
+    state = prng.make_state(px, py, jnp.uint32(frame_index))
+    light_count = (1 + lights["point_count"] + lights["spot_count"]).astype(
+        jnp.float32
+    )
+    R = px.shape[0]
+    res_light = jnp.full((R,), -1, jnp.int32)
+    sum_w = jnp.zeros((R,), jnp.float32)
+
+    mis = 1.0 / INITIAL_CANDIDATES
+    for _ in range(INITIAL_CANDIDATES):
+        state, u = prng.rnd01(state)
+        li = jnp.minimum(
+            (u * light_count).astype(jnp.int32),
+            (light_count - 1.0).astype(jnp.int32),
+        )
+        w = mis * _p_hat(surface, lights, li) * light_count
+        sum_w = sum_w + w
+        state, accept_u = prng.rnd01(state)
+        accept = accept_u < w / jnp.where(sum_w > 0, sum_w, 1.0)
+        res_light = jnp.where(accept, li, res_light)
+
+    ucw = jnp.where(
+        res_light >= 0,
+        sum_w
+        / jnp.maximum(
+            _p_hat(surface, lights, jnp.maximum(res_light, 0)), 1e-20
+        ),
+        0.0,
+    )
+    return res_light, ucw
+
+
+def _uniform_sample_disk(u):
+    """sampling.glsl:8-13."""
+    r = jnp.sqrt(u[..., 0])
+    theta = 2.0 * np.pi * u[..., 1]
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+def spatial_reuse(
+    surface: dict,
+    lights: dict,
+    res_light: jnp.ndarray,
+    res_ucw: jnp.ndarray,
+    gbuf: dict,
+    px,
+    py,
+    width: int,
+    height: int,
+    frame_index,
+):
+    """Biased spatial reuse (spatial_reuse.comp)."""
+    state = prng.make_state(px, py, jnp.uint32(frame_index))
+    R = px.shape[0]
+
+    lin_depth = surface["linear_depth"]
+    normal = surface["normal_ws"]
+    nm = gbuf["normal_metallic"]
+    neighbor_normals = signed_oct_decode(nm[..., :3])
+    neighbor_lin_depth = gbuf["linear_depth"]
+
+    samples_li = []
+    samples_ucw = []
+    for _i in range(SPATIAL_SAMPLES):
+        found = jnp.zeros((R,), bool)
+        samp_flat = jnp.zeros((R,), jnp.int32)
+        for _k in range(MAX_TRIES):
+            trying = ~found
+            state_n, u2 = prng.rnd2d01(state)
+            state = jnp.where(trying[..., None], state_n, state)
+            r = (
+                _uniform_sample_disk(u2) * SPATIAL_RADIUS * 2.0 - SPATIAL_RADIUS
+            ).astype(jnp.int32)
+            p_x = px.astype(jnp.int32) + r[..., 0]
+            p_y = py.astype(jnp.int32) + r[..., 1]
+            # `any(lessThanEqual(p, 0)) || any(greaterThanEqual(p, res))`
+            in_bounds = (p_x > 0) & (p_y > 0) & (p_x < width) & (p_y < height)
+            p_flat = jnp.clip(p_y, 0, height - 1) * width + jnp.clip(
+                p_x, 0, width - 1
+            )
+            nd = neighbor_lin_depth[p_flat]
+            depth_ok = (
+                jnp.abs(1.0 - nd / jnp.where(lin_depth != 0, lin_depth, 1.0))
+                <= 0.1
+            )
+            nrm_ok = _dot(neighbor_normals[p_flat], normal) >= 0.9
+            ok = trying & in_bounds & depth_ok & nrm_ok
+            samp_flat = jnp.where(ok, p_flat, samp_flat)
+            found = found | ok
+        samples_li.append(jnp.where(found, res_light[samp_flat], -1))
+        samples_ucw.append(jnp.where(found, res_ucw[samp_flat], 0.0))
+
+    valid_count = sum(
+        (li >= 0).astype(jnp.float32) for li in samples_li
+    )
+
+    out_light = jnp.full((R,), -1, jnp.int32)
+    sum_w = jnp.zeros((R,), jnp.float32)
+    for li, ucw in zip(samples_li, samples_ucw):
+        valid = li >= 0
+        w = jnp.where(
+            valid, _p_hat(surface, lights, jnp.maximum(li, 0)) * ucw, 0.0
+        )
+        sum_w = sum_w + w
+        # GLSL consumes rnd01 only for valid samples (continue skips it)
+        state_n, u = prng.rnd01(state)
+        state = jnp.where(valid[..., None], state_n, state)
+        accept = valid & (u < w / jnp.where(sum_w > 0, sum_w, 1.0))
+        out_light = jnp.where(accept, li, out_light)
+
+    out_ucw = jnp.where(
+        out_light >= 0,
+        (1.0 / jnp.maximum(valid_count, 1.0))
+        * sum_w
+        / jnp.maximum(_p_hat(surface, lights, jnp.maximum(out_light, 0)), 1e-20),
+        0.0,
+    )
+    return out_light, out_ucw
+
+
+def restir_shade(
+    surface: dict,
+    lights: dict,
+    res_light: jnp.ndarray,
+    res_ucw: jnp.ndarray,
+    tris: dict,
+    frame: dict,
+):
+    """Traced final shading (main.rgen evaluateDirectLightingReSTIR)."""
+    li = jnp.maximum(res_light, 0)
+    l, dist, irr = sample_light(lights, li, surface["position_ws"])
+    front = _dot(l, surface["normal_ws"]) > 0.0
+    valid = (res_light >= 0) & front & surface["valid"] & (surface["alpha"] != 0.0)
+
+    shadow_o = jnp.where(valid[..., None], surface["position_ws"], 0.0)
+    shadow_d = jnp.where(valid[..., None], l, jnp.array([0.0, 0.0, 1.0]))
+    occluded = trace.trace_any(
+        tris,
+        frame["wc_aabb_min_w"],
+        frame["wc_aabb_max_w"],
+        shadow_o,
+        shadow_d,
+        0.1,
+        jnp.where(valid, dist, 0.0),
+    )
+    vis = jnp.where(valid & ~occluded, 1.0, 0.0)
+    color = (
+        irr
+        * vis[..., None]
+        * eval_brdf_times_nol(
+            l,
+            surface["inv_view_ray"],
+            surface["normal_ws"],
+            surface["albedo"],
+            surface["roughness"],
+            surface["metallic"],
+        )
+        * res_ucw[..., None]
+    )
+    return jnp.where(valid[..., None], color, 0.0)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def render_restir(
+    static_scene: dict,
+    frame: dict,
+    arena: dict,
+    cam: dict,
+    lut: jnp.ndarray,
+    width: int,
+    height: int,
+    frame_index,
+    exposure: float = 1.0,
+    contrast: float = 1.0,
+):
+    """Full ReSTIR DI frame: G-buffer -> reservoirs -> spatial -> trace."""
+    from .gbuffer import render_gbuffer
+
+    gbuf = render_gbuffer(static_scene, frame, arena, cam, width, height)
+    surface = dict(gbuf["surface"])
+    # linear depth from the non-linear buffer like the comp shaders
+    c2c = cam["camera_to_clip"]
+    lin = -c2c[2, 3] / (gbuf["depth"] + c2c[2, 2])
+    surface["linear_depth"] = lin
+    gbuf2 = dict(gbuf)
+    gbuf2["linear_depth"] = lin
+
+    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
+    lights = frame["lights"]
+
+    li0, ucw0 = initial_reservoirs(surface, lights, px, py, frame_index)
+    li0 = jnp.where(gbuf["valid"], li0, -1)
+    li1, ucw1 = spatial_reuse(
+        surface, lights, li0, ucw0, gbuf2, px, py, width, height, frame_index
+    )
+    tris = trace.world_triangles(static_scene, frame)
+    color = restir_shade(surface, lights, li1, ucw1, tris, frame)
+    img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
+    return img, color
+
+
+def restir_entry(
+    *,
+    static,
+    frame,
+    arena,
+    cam,
+    lut,
+    width,
+    height,
+    exposure=1.0,
+    contrast=1.0,
+    frame_index=0,
+    state=None,
+    **_,
+):
+    img, color = render_restir(
+        static, frame, arena, cam, lut, width, height, frame_index, exposure, contrast
+    )
+    # running-mean accumulation like the reference trace pass
+    color = color.reshape(height, width, 3)
+    if state is None:
+        acc, count = color, jnp.ones((height, width), jnp.float32)
+    else:
+        prev, pcount = state
+        count = pcount + 1.0
+        acc = prev + (color - prev) / count[..., None]
+        img = tone_map(acc, lut, exposure, contrast)
+    return img, (acc, count)
