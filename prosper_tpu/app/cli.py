@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--exposure", type=float, default=1.0)
     r.add_argument("--contrast", type=float, default=1.0)
     r.add_argument("--max-bounces", type=int, default=3)
+    r.add_argument("--taa", action="store_true", help="TAA resolve (deferred mode)")
+    r.add_argument("--bloom", action="store_true", help="bloom (deferred mode)")
+    r.add_argument("--dof", action="store_true", help="depth of field (deferred mode)")
     r.add_argument("--out", default="out/frame.png")
     r.add_argument("--max-texture-dim", type=int, default=2048)
     r.add_argument("--platform", default=None, help="force JAX platform (cpu/tpu)")
@@ -96,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     arena_dev = {k: jnp.asarray(v) for k, v in arena.uniforms().items()}
     lut = jnp.asarray(load_tony_mc_mapface())
-    cam_obj = world.make_camera((args.width, args.height), apply_jitter=False)
+    # camera jitter rides with TAA like the reference (Renderer.cpp:329-340)
+    cam_obj = world.make_camera((args.width, args.height), apply_jitter=args.taa)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
 
@@ -129,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
             max_bounces=args.max_bounces,
             frame_index=f,
             state=state,
+            use_taa=args.taa,
+            use_bloom=args.bloom,
+            use_dof=args.dof,
         )
         img.block_until_ready()
         log_info("frame %d: %.1f ms", f, (time.time() - t0) * 1e3)

@@ -29,6 +29,36 @@ TILE = 256  # rays per packet: 2 VPU sublane-rows of 128 lanes
 CLUSTER_PAD = 128  # triangles per cluster slab (scene/meshlets.py)
 
 
+def block_pixel_order(width: int, height: int, block: int = 16):
+    """Pixel traversal order that groups 16x16 screen blocks into ray
+    tiles (256 rays): compact packet bounds instead of row strips.
+
+    Returns (px, py, inverse) — px/py: (R,) uint32 in block order;
+    `inverse` scatters block-order results back to row-major:
+    row_major = blocked[inverse].
+    """
+    import numpy as np
+
+    bx = -(-width // block)
+    by = -(-height // block)
+    ys, xs = np.meshgrid(np.arange(by * block), np.arange(bx * block), indexing="ij")
+    # block-major order
+    order = np.argsort(
+        ((ys // block) * bx + (xs // block)) * (block * block)
+        + (ys % block) * block
+        + (xs % block),
+        axis=None,
+        kind="stable",
+    )
+    px = (xs.reshape(-1)[order]).astype(np.uint32)
+    py = (ys.reshape(-1)[order]).astype(np.uint32)
+    keep = (px < width) & (py < height)
+    px, py = px[keep], py[keep]
+    flat = py.astype(np.int64) * width + px.astype(np.int64)
+    inverse = np.argsort(flat, kind="stable")
+    return px, py, inverse
+
+
 def _pad_rays(ray_o, ray_d):
     """Pad ray count to a TILE multiple with miss-guaranteed dummy rays.
 

@@ -68,7 +68,10 @@ def shade_deferred(
     return jnp.where(gbuf["valid"][..., None], color, 0.0)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "use_taa", "use_bloom", "use_dof"),
+)
 def render_deferred(
     static_scene: dict,
     frame: dict,
@@ -79,14 +82,46 @@ def render_deferred(
     height: int,
     exposure: float = 1.0,
     contrast: float = 1.0,
+    use_taa: bool = False,
+    use_bloom: bool = False,
+    use_dof: bool = False,
+    taa_history: jnp.ndarray | None = None,
 ):
+    """Deferred frame + optional post chain, in the reference's pass order
+    (Renderer.cpp:516-584): bloom -> TAA -> DoF -> tone map.
+
+    Returns (display image, new TAA history or None).
+    """
     from .gbuffer import render_gbuffer
 
     gbuf = render_gbuffer(static_scene, frame, arena, cam, width, height)
     clusters = build_light_clusters(cam, frame["lights"], width, height)
     color = shade_deferred(gbuf, clusters, frame["lights"], cam, width, height)
-    img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
-    return img, gbuf
+    hdr = color.reshape(height, width, 3)
+
+    if use_bloom:
+        from ..ops.bloom import bloom_multi_res
+
+        hdr = bloom_multi_res(hdr)
+
+    new_history = None
+    if use_taa:
+        from ..ops.taa import taa_resolve
+
+        velocity = gbuf["velocity"].reshape(height, width, 2)
+        depth = gbuf["depth"].reshape(height, width)
+        prev = hdr if taa_history is None else taa_history
+        hdr = taa_resolve(hdr, prev, velocity, depth)
+        new_history = hdr
+
+    if use_dof:
+        from ..ops.dof import depth_of_field
+
+        view_depth = jnp.maximum(-gbuf["z_cam"].reshape(height, width), 1e-3)
+        hdr = depth_of_field(hdr, view_depth, cam)
+
+    img = tone_map(hdr, lut, exposure, contrast)
+    return img, new_history
 
 
 def deferred_entry(
@@ -101,9 +136,24 @@ def deferred_entry(
     exposure=1.0,
     contrast=1.0,
     state=None,
+    use_taa=False,
+    use_bloom=False,
+    use_dof=False,
     **_,
 ):
-    img, _gbuf = render_deferred(
-        static, frame, arena, cam, lut, width, height, exposure, contrast
+    img, history = render_deferred(
+        static,
+        frame,
+        arena,
+        cam,
+        lut,
+        width,
+        height,
+        exposure,
+        contrast,
+        use_taa,
+        use_bloom,
+        use_dof,
+        taa_history=state,
     )
-    return img, state
+    return img, history
