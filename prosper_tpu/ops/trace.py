@@ -29,6 +29,31 @@ TILE = 256  # rays per packet: 2 VPU sublane-rows of 128 lanes
 CLUSTER_PAD = 128  # triangles per cluster slab (scene/meshlets.py)
 
 
+def make_tracer(tris: dict, wc_min, wc_max):
+    """Returns (closest_fn, any_fn) with signature (o, d, t_min, t_max).
+
+    On TPU backends the Pallas per-tile kernels are used (ops/trace_pallas);
+    on CPU the XLA reference path runs (the Pallas interpret mode is far
+    too slow for full frames).
+    """
+    import jax
+
+    from functools import partial as _partial
+
+    if jax.default_backend() != "cpu":
+        from . import trace_pallas
+
+        packed = trace_pallas.pack_tris(tris)
+        return (
+            _partial(trace_pallas.trace_closest_pallas, packed, wc_min, wc_max),
+            _partial(trace_pallas.trace_any_pallas, packed, wc_min, wc_max),
+        )
+    return (
+        _partial(trace_closest, tris, wc_min, wc_max),
+        _partial(trace_any, tris, wc_min, wc_max),
+    )
+
+
 def block_pixel_order(width: int, height: int, block: int = 16):
     """Pixel traversal order that groups 16x16 screen blocks into ray
     tiles (256 rays): compact packet bounds instead of row strips.

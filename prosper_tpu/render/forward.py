@@ -83,22 +83,27 @@ def render_forward(
     contrast: float = 1.0,
 ):
     """One forward frame -> (H, W, 3) display-encoded image."""
-    # pixel-center rays (no jitter for the still-frame golden)
-    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-    uv = jnp.stack(jnp.meshgrid(px, py, indexing="xy"), axis=-1)  # (H, W, 2)
-    o, d = pinhole_rays(cam, uv.reshape(-1, 2))
+    # pixel-center rays (no jitter for the still-frame golden), traced
+    # in 16x16-block order then scattered back to row-major
+    px_np, py_np, inv_np = trace.block_pixel_order(width, height)
+    uv = jnp.stack(
+        [
+            (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
+            (jnp.asarray(py_np).astype(jnp.float32) + 0.5) / height,
+        ],
+        axis=-1,
+    )
+    o, d = pinhole_rays(cam, uv)
 
     tris = trace.world_triangles(static_scene, frame)
-    hit = trace.trace_closest(
-        tris,
-        frame["wc_aabb_min_w"],
-        frame["wc_aabb_max_w"],
-        o,
-        d,
-        1e-4,
-        jnp.inf,
+    closest_fn, _ = trace.make_tracer(
+        tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
     )
+    hit = closest_fn(o, d, 1e-4, jnp.inf)
+    inv = jnp.asarray(inv_np)
+    hit = {k: v[inv] for k, v in hit.items()}
+    o = o[inv]
+    d = d[inv]
     surface = evaluate_surface(static_scene, frame, arena, o, d, hit)
     color = eval_all_lights(surface, frame["lights"])
     color = jnp.where(surface["valid"][..., None], color, 0.0)

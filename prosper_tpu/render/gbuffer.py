@@ -31,9 +31,14 @@ def render_gbuffer(
     height: int,
 ):
     """Trace primary rays and produce the G-buffer pytree (flat R = W*H)."""
-    pxf = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    pyf = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
-    uv = jnp.stack(jnp.meshgrid(pxf, pyf, indexing="xy"), axis=-1).reshape(-1, 2)
+    px_np, py_np, inv_np = trace.block_pixel_order(width, height)
+    uv = jnp.stack(
+        [
+            (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
+            (jnp.asarray(py_np).astype(jnp.float32) + 0.5) / height,
+        ],
+        axis=-1,
+    )
     # jittered projection: the jitter rides the camera matrix; rays go
     # through pixel centers shifted by the jitter like the raster path
     jit = cam["current_jitter"]
@@ -41,9 +46,14 @@ def render_gbuffer(
     o, d = pinhole_rays(cam, uv_j)
 
     tris = trace.world_triangles(static_scene, frame)
-    hit = trace.trace_closest(
-        tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], o, d, 1e-4, jnp.inf
+    closest_fn, _ = trace.make_tracer(
+        tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
     )
+    hit = closest_fn(o, d, 1e-4, jnp.inf)
+    inv = jnp.asarray(inv_np)
+    hit = {k: v[inv] for k, v in hit.items()}
+    o = o[inv]
+    d = d[inv]
     surface = evaluate_surface(static_scene, frame, arena, o, d, hit)
     valid = surface["valid"]
 

@@ -91,6 +91,7 @@ def pt_trace_pixels(
     tris = trace.world_triangles(static_scene, frame)
     wc_min = frame["wc_aabb_min_w"]
     wc_max = frame["wc_aabb_max_w"]
+    trace_closest_fn, trace_any_fn = trace.make_tracer(tris, wc_min, wc_max)
     lights = frame["lights"]
     light_count = (1 + lights["point_count"] + lights["spot_count"]).astype(
         jnp.float32
@@ -102,12 +103,34 @@ def pt_trace_pixels(
 
     # One bounce body compiled once and iterated (static trip count):
     # keeps XLA compile time flat in max_bounces.
+    n_clusters = wc_min.shape[0]
+
     def bounce_body(bounce, carry):
-        state, color, throughput, active, ray_o, ray_d, ray_tmax, n_rays = carry
+        state, color, throughput, active, ray_o, ray_d, ray_tmax, n_rays, origin_cluster = carry
         n_rays = n_rays + jnp.sum(active.astype(jnp.int32))
-        hit = trace.trace_closest(
-            tris, wc_min, wc_max, ray_o, ray_d, 0.0, ray_tmax
+
+        # Wavefront coherence sort (bounce > 0): bounce directions are
+        # random, so group rays by (origin cluster, direction octant) to
+        # restore tight packet bounds; dead rays sort to the back. Bounce
+        # 0 keeps the caller's 16x16-block order (identity keys).
+        octant = (
+            (ray_d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (ray_d[:, 2] > 0).astype(jnp.int32)
         )
+        key = jnp.where(
+            active, origin_cluster * 8 + octant, 8 * n_clusters + 1
+        )
+        key = jnp.where(
+            bounce > 0, key, jnp.arange(key.shape[0], dtype=jnp.int32)
+        )
+        perm = jnp.argsort(key, stable=True)
+        inv_perm = jnp.argsort(perm, stable=True)
+
+        hit = trace_closest_fn(
+            ray_o[perm], ray_d[perm], 0.0, ray_tmax[perm]
+        )
+        hit = {k: v[inv_perm] for k, v in hit.items()}
         hit_valid = (hit["tri"] >= 0) & active
         surface = evaluate_surface(static_scene, frame, arena, ray_o, ray_d, hit)
 
@@ -126,15 +149,10 @@ def pt_trace_pixels(
         # cull tight instead of degenerating to all-clusters.
         shadow_o = jnp.where(need_shadow[..., None], surface["position_ws"], ray_o)
         shadow_d = jnp.where(need_shadow[..., None], l, ray_d)
-        occluded = trace.trace_any(
-            tris,
-            wc_min,
-            wc_max,
-            shadow_o,
-            shadow_d,
-            0.1,
-            jnp.where(need_shadow, dist, 0.0),
-        )
+        shadow_tmax = jnp.where(need_shadow, dist, 0.0)
+        occluded = trace_any_fn(
+            shadow_o[perm], shadow_d[perm], 0.1, shadow_tmax[perm]
+        )[inv_perm]
         n_rays = n_rays + jnp.sum(need_shadow.astype(jnp.int32))
         vis = jnp.where(need_shadow & ~occluded, 1.0, 0.0)
         direct = (
@@ -223,7 +241,18 @@ def pt_trace_pixels(
         )
         ray_d = jnp.where(active[..., None], rd, ray_d)
         ray_tmax = jnp.where(active, jnp.inf, 0.0)
-        return (state, color, throughput, active, ray_o, ray_d, ray_tmax, n_rays)
+        origin_cluster = jnp.maximum(hit["tri"], 0) // trace.CLUSTER_PAD
+        return (
+            state,
+            color,
+            throughput,
+            active,
+            ray_o,
+            ray_d,
+            ray_tmax,
+            n_rays,
+            origin_cluster,
+        )
 
     carry = (
         state,
@@ -234,6 +263,7 @@ def pt_trace_pixels(
         ray_d,
         jnp.full((R,), jnp.inf, jnp.float32),
         jnp.int32(0),
+        jnp.zeros((R,), jnp.int32),
     )
     carry = jax.lax.fori_loop(0, max_bounces, bounce_body, carry, unroll=1)
     return carry[1], carry[7]
@@ -263,10 +293,14 @@ def pt_render_sample(
     clamp_indirect: bool = False,
     return_stats: bool = False,
 ):
-    """One full-frame 1-spp sample pass -> (H*W, 3) linear color
-    (+ ray count when return_stats)."""
-    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
+    """One full-frame 1-spp sample pass -> (H*W, 3) linear color in
+    row-major pixel order (+ ray count when return_stats).
+
+    Pixels are traced in 16x16-block order for tight ray packets, then
+    scattered back to row-major."""
+    px_np, py_np, inv_np = trace.block_pixel_order(width, height)
+    px = jnp.asarray(px_np)
+    py = jnp.asarray(py_np)
     color, n_rays = pt_trace_pixels(
         static_scene,
         frame,
@@ -280,6 +314,7 @@ def pt_render_sample(
         use_dof,
         clamp_indirect,
     )
+    color = color[jnp.asarray(inv_np)]
     if return_stats:
         return color, n_rays
     return color

@@ -196,15 +196,10 @@ def restir_shade(
 
     shadow_o = jnp.where(valid[..., None], surface["position_ws"], 0.0)
     shadow_d = jnp.where(valid[..., None], l, jnp.array([0.0, 0.0, 1.0]))
-    occluded = trace.trace_any(
-        tris,
-        frame["wc_aabb_min_w"],
-        frame["wc_aabb_max_w"],
-        shadow_o,
-        shadow_d,
-        0.1,
-        jnp.where(valid, dist, 0.0),
+    _, any_fn = trace.make_tracer(
+        tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
     )
+    occluded = any_fn(shadow_o, shadow_d, 0.1, jnp.where(valid, dist, 0.0))
     vis = jnp.where(valid & ~occluded, 1.0, 0.0)
     color = (
         irr

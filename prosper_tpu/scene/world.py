@@ -270,6 +270,12 @@ class World:
         wc_local = np.zeros(self.n_world_clusters, np.uint32)  # cluster in mesh
         wc_aabb_min = np.zeros((self.n_world_clusters, 3), np.float32)
         wc_aabb_max = np.zeros((self.n_world_clusters, 3), np.float32)
+        # meshlet bounds for the culling pipeline (object space)
+        wc_sphere_center = np.zeros((self.n_world_clusters, 3), np.float32)
+        wc_sphere_radius = np.zeros(self.n_world_clusters, np.float32)
+        wc_cone_axis = np.zeros((self.n_world_clusters, 3), np.float32)
+        wc_cone_cutoff = np.zeros(self.n_world_clusters, np.float32)
+        wc_tri_count = np.zeros(self.n_world_clusters, np.int32)
 
         n_real = 0
         c_global = 0
@@ -295,6 +301,11 @@ class World:
                 wc_local[c_global] = local_c
                 wc_aabb_min[c_global] = cl.aabb_min[local_c]
                 wc_aabb_max[c_global] = cl.aabb_max[local_c]
+                wc_sphere_center[c_global] = cl.cone_apex[local_c]
+                wc_sphere_radius[c_global] = cl.sphere_radius[local_c]
+                wc_cone_axis[c_global] = cl.cone_axis[local_c]
+                wc_cone_cutoff[c_global] = cl.cone_cutoff[local_c]
+                wc_tri_count[c_global] = cnt
                 n_real += cnt
                 c_global += 1
 
@@ -308,6 +319,11 @@ class World:
         self.wc_material = wc_material
         self.wc_aabb_min_obj = wc_aabb_min
         self.wc_aabb_max_obj = wc_aabb_max
+        self.wc_sphere_center = wc_sphere_center
+        self.wc_sphere_radius = wc_sphere_radius
+        self.wc_cone_axis = wc_cone_axis
+        self.wc_cone_cutoff = wc_cone_cutoff
+        self.wc_tri_count = wc_tri_count
         # per-tri instance/material (cluster-uniform, broadcast to slots)
         self.wt_instance = np.repeat(wc_instance, pad)
         self.wt_material = np.repeat(wc_material, pad)
@@ -322,6 +338,13 @@ class World:
             "wt_aidx": self.wt_aidx.astype(np.int32),
             "wt_instance": self.wt_instance.astype(np.int32),
             "wt_material": self.wt_material.astype(np.int32),
+            "wc_instance": self.wc_instance.astype(np.int32),
+            "wc_material": self.wc_material.astype(np.int32),
+            "wc_sphere_center": self.wc_sphere_center,
+            "wc_sphere_radius": self.wc_sphere_radius,
+            "wc_cone_axis": self.wc_cone_axis,
+            "wc_cone_cutoff": self.wc_cone_cutoff,
+            "wc_tri_count": self.wc_tri_count,
             "a_normal": self.a_normal,
             "a_tangent": self.a_tangent,
             "a_uv": self.a_uv,

@@ -85,7 +85,16 @@ def make_test_scene(n_boxes: int = 4, seed: int = 0):
         "normal_tex": np.array([0, 0], np.int32),
     }
 
+    wc_center = (wc_min + wc_max) / 2
+    wc_radius = np.linalg.norm(wc_max - wc_center, axis=1).astype(np.float32)
     static = {
+        "wc_instance": np.zeros(n_clusters, np.int32),
+        "wc_material": np.ones(n_clusters, np.int32),
+        "wc_sphere_center": wc_center.astype(np.float32),
+        "wc_sphere_radius": wc_radius,
+        "wc_cone_axis": np.tile(np.array([[0, 0, 1.0]], np.float32), (n_clusters, 1)),
+        "wc_cone_cutoff": np.ones(n_clusters, np.float32),  # never cone-cull
+        "wc_tri_count": np.full(n_clusters, 12, np.int32),
         "wt_p0": wt_p0,
         "wt_p1": wt_p1,
         "wt_p2": wt_p2,
