@@ -1,9 +1,14 @@
-"""Texture sampling: gather + decode + filter over the flat texel arena.
+"""Texture sampling: gather + decode + filter over the quad-packed arena.
 
 The TPU analog of Vulkan's sampler2D reads in materials.glsl
 (/root/reference/res/shader/scene/materials.glsl:46-121): sRGB decode
 happens per texel BEFORE filtering (matching VK_FORMAT_*_SRGB views),
 wrap mode is REPEAT (the glTF default used by the bundled scenes).
+
+Arena layout (scene/textures.py): each mip is stored as (H*W, 4) u32
+bilinear quads — texel (x,y) plus its +x/+y/+xy REPEAT neighbors — so a
+bilinear tap is ONE 16-byte row gather (XLA gathers whole minor rows
+fast; four scattered texel gathers were ~4x slower on TPU).
 
 Sampling returns linear-space float RGBA.
 """
@@ -13,60 +18,52 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _decode_texel(packed, srgb_mask):
-    """(...,) u32 + bool -> (..., 4) linear float."""
-    p = packed.astype(jnp.uint32)
+def _decode4(quads, srgb_mask):
+    """(..., 4) u32 quads -> (..., 4, 4) linear float RGBA per corner."""
+    p = quads.astype(jnp.uint32)
     r = (p & 0xFF).astype(jnp.float32) / 255.0
     g = ((p >> 8) & 0xFF).astype(jnp.float32) / 255.0
     b = ((p >> 16) & 0xFF).astype(jnp.float32) / 255.0
     a = ((p >> 24) & 0xFF).astype(jnp.float32) / 255.0
-    rgb = jnp.stack([r, g, b], axis=-1)
+    rgb = jnp.stack([r, g, b], axis=-1)  # (..., 4, 3)
     lin = jnp.where(
         rgb <= 0.04045, rgb / 12.92, jnp.power((rgb + 0.055) / 1.055, 2.4)
     )
-    rgb = jnp.where(srgb_mask[..., None], lin, rgb)
+    rgb = jnp.where(srgb_mask[..., None, None], lin, rgb)
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
 
-def sample_bilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, mip):
-    """Bilinear sample at integer mip. tex: (R,) i32 texture ids,
-    uv: (R, 2), mip: (R,) i32. Returns (R, 4) linear."""
-    table = arena["table"]  # (T, M, 4)
-    entry = table[tex, mip]  # (R, 4) gather
+def _bilinear_entry(arena, entry, uv):
+    """Bilinear sample given a (R, 4) table entry (off, w, h, flags)."""
     off = entry[..., 0]
     w = entry[..., 1]
     h = entry[..., 2]
     srgb = entry[..., 3] > 0
 
-    # REPEAT wrap
     u = uv[..., 0] * w.astype(jnp.float32) - 0.5
     v = uv[..., 1] * h.astype(jnp.float32) - 0.5
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
-    fu = u - u0
-    fv = v - v0
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
 
-    def wrap(x, n):
-        return jnp.mod(x.astype(jnp.int32), n)
+    x0 = jnp.mod(u0.astype(jnp.int32), w)
+    y0 = jnp.mod(v0.astype(jnp.int32), h)
 
-    x0 = wrap(u0, w)
-    x1 = wrap(u0 + 1, w)
-    y0 = wrap(v0, h)
-    y1 = wrap(v0 + 1, h)
-
-    data = arena["data"]
-    t00 = _decode_texel(data[off + y0 * w + x0], srgb)
-    t10 = _decode_texel(data[off + y0 * w + x1], srgb)
-    t01 = _decode_texel(data[off + y1 * w + x0], srgb)
-    t11 = _decode_texel(data[off + y1 * w + x1], srgb)
-    fu = fu[..., None]
-    fv = fv[..., None]
+    quads = arena["data"][off + y0 * w + x0]  # (R, 4) one row gather
+    t = _decode4(quads, srgb)  # (R, 4, 4): corners 00,10,01,11
     return (
-        t00 * (1 - fu) * (1 - fv)
-        + t10 * fu * (1 - fv)
-        + t01 * (1 - fu) * fv
-        + t11 * fu * fv
+        t[..., 0, :] * (1 - fu) * (1 - fv)
+        + t[..., 1, :] * fu * (1 - fv)
+        + t[..., 2, :] * (1 - fu) * fv
+        + t[..., 3, :] * fu * fv
     )
+
+
+def sample_bilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, mip):
+    """Bilinear sample at integer mip. tex: (R,) i32 ids, uv: (R, 2)."""
+    entry = arena["table"][tex, mip]
+    return _bilinear_entry(arena, entry, uv)
 
 
 def sample_trilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, lod):
@@ -84,6 +81,9 @@ def sample_trilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, lod):
 def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=None):
     """sampleMaterial parity (materials.glsl:46-121).
 
+    lod=None means base-mip sampling (the RT shaders' texture() without
+    derivatives), which takes the 1-gather-per-texture fast path.
+
     Returns dict: albedo (R,3) linear, alpha (R,) with the reference's
     signalling (-1 opaque, 0 failed mask test, else blend alpha),
     roughness, metallic (R,), normal_ts (R,3) with x == -2 when no normal
@@ -93,14 +93,15 @@ def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=
     base_tex = materials["base_color_tex"][mat_idx]
     mr_tex = materials["metallic_roughness_tex"][mat_idx]
     nrm_tex = materials["normal_tex"][mat_idx]
-    lod = jnp.zeros(R, jnp.float32) if lod is None else lod
 
-    base = jnp.where(
-        (base_tex > 0)[..., None],
-        sample_trilinear(arena, base_tex, uv, lod),
-        jnp.ones(R + (4,), jnp.float32),
-    )
-    base = base * materials["base_color_factor"][mat_idx]
+    if lod is None:
+        def tex_sample(tex_ids):
+            return _bilinear_entry(arena, arena["table"][tex_ids, 0], uv)
+    else:
+        def tex_sample(tex_ids):
+            return sample_trilinear(arena, tex_ids, uv, lod)
+
+    base = tex_sample(base_tex) * materials["base_color_factor"][mat_idx]
 
     alpha_mode = materials["alpha_mode"][mat_idx]
     cutoff = materials["alpha_cutoff"][mat_idx]
@@ -111,16 +112,12 @@ def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=
         jnp.where((alpha_mode == 1) & (base[..., 3] < cutoff), 0.0, -1.0),
     )
 
-    mr = jnp.where(
-        (mr_tex > 0)[..., None],
-        sample_trilinear(arena, mr_tex, uv, lod),
-        jnp.ones(R + (4,), jnp.float32),
-    )
+    mr = tex_sample(mr_tex)
     roughness = mr[..., 1] * materials["roughness_factor"][mat_idx]
     metallic = mr[..., 2] * materials["metallic_factor"][mat_idx]
     roughness = jnp.maximum(roughness, 0.05)
 
-    nrm = sample_trilinear(arena, nrm_tex, uv, lod)
+    nrm = tex_sample(nrm_tex)
     normal_ts = jnp.where(
         (nrm_tex > 0)[..., None],
         nrm[..., :3] * 2.0 - 1.0,
@@ -134,3 +131,21 @@ def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=
         "metallic": metallic,
         "normal_ts": normal_ts,
     }
+
+
+def sample_alpha(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=None):
+    """sampleAlpha parity (materials.glsl:123-147): base-color alpha only,
+    used by the stochastic any-hit path."""
+    base_tex = materials["base_color_tex"][mat_idx]
+    if lod is None:
+        a = _bilinear_entry(arena, arena["table"][base_tex, 0], uv)[..., 3]
+    else:
+        a = sample_trilinear(arena, base_tex, uv, lod)[..., 3]
+    a = a * materials["base_color_factor"][mat_idx][..., 3]
+    alpha_mode = materials["alpha_mode"][mat_idx]
+    cutoff = materials["alpha_cutoff"][mat_idx]
+    return jnp.where(
+        alpha_mode == 2,
+        a,
+        jnp.where((alpha_mode == 1) & (a < cutoff), 0.0, -1.0),
+    )

@@ -22,6 +22,16 @@ from ..ops.rays import pinhole_rays
 from .surface import evaluate_surface
 
 
+def _masked_aabbs(wc_min, wc_max, mask):
+    """Inverted (empty) AABBs for culled clusters: the conservative packet
+    cull then never visits them (the draw-list analog)."""
+    big = jnp.float32(3e38)
+    return (
+        jnp.where(mask[:, None], wc_min, big),
+        jnp.where(mask[:, None], wc_max, -big),
+    )
+
+
 def render_gbuffer(
     static_scene: dict,
     frame: dict,
@@ -29,8 +39,18 @@ def render_gbuffer(
     cam: dict,
     width: int,
     height: int,
+    use_culling: bool = False,
+    prev_hiz: list | None = None,
 ):
-    """Trace primary rays and produce the G-buffer pytree (flat R = W*H)."""
+    """Trace primary rays and produce the G-buffer pytree (flat R = W*H).
+
+    With use_culling, runs the reference's two-phase meshlet pipeline
+    (ForwardRenderer recordOpaque flow): phase 1 traces clusters that
+    survive frustum/cone culling + previous-frame HiZ occlusion; a fresh
+    HiZ is built from phase-1 depth; phase 2 re-tests the depth-culled
+    clusters against it and traces the disocclusions; hits merge by min t.
+    The fresh HiZ is returned in the G-buffer for preservation.
+    """
     px_np, py_np, inv_np = trace.block_pixel_order(width, height)
     uv = jnp.stack(
         [
@@ -46,11 +66,68 @@ def render_gbuffer(
     o, d = pinhole_rays(cam, uv_j)
 
     tris = trace.world_triangles(static_scene, frame)
-    closest_fn, _ = trace.make_tracer(
-        tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
-    )
-    hit = closest_fn(o, d, 1e-4, jnp.inf)
     inv = jnp.asarray(inv_np)
+    stats = {}
+    hiz_mips = None
+    if use_culling:
+        from ..ops.culling import cull_clusters
+        from ..ops.hiz import build_hiz
+
+        uniform_scales = jnp.linalg.norm(
+            frame["transforms"][:, :, :3], axis=1
+        ).max(axis=-1)
+        cull1 = cull_clusters(
+            static_scene,
+            frame,
+            cam,
+            uniform_scales,
+            prev_hiz or [],
+            width,
+            height,
+            output_second_phase=True,
+        )
+        mn1, mx1 = _masked_aabbs(
+            frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], cull1["visible"]
+        )
+        closest_fn, _ = trace.make_tracer(tris, mn1, mx1)
+        hit = closest_fn(o, d, 1e-4, jnp.inf)
+
+        # fresh HiZ from phase-1 depth
+        w2clip = cam["camera_to_clip"] @ cam["world_to_camera"]
+        pos1 = o + jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)[..., None] * d
+        ph = jnp.concatenate([pos1, jnp.ones_like(pos1[..., :1])], -1)
+        clip = ph @ w2clip.T
+        depth1 = jnp.where(hit["tri"] >= 0, clip[..., 2] / clip[..., 3], 0.0)
+        depth_img = depth1[inv].reshape(height, width)
+        hiz_mips = build_hiz(depth_img, width, height)
+
+        # phase 2: disoccluded clusters only
+        from ..ops.culling import sphere_occluded, transform_cluster_bounds
+
+        center, radius, _axis, _cut = transform_cluster_bounds(
+            static_scene, frame, uniform_scales
+        )
+        still_occluded = sphere_occluded(
+            center, radius, cam, hiz_mips, width, height
+        )
+        phase2 = cull1["second_phase"] & ~still_occluded
+        mn2, mx2 = _masked_aabbs(
+            frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], phase2
+        )
+        closest2, _ = trace.make_tracer(tris, mn2, mx2)
+        hit2 = closest2(o, d, 1e-4, jnp.inf)
+        better = hit2["t"] < hit["t"]
+        hit = {k: jnp.where(better, hit2[k], hit[k]) for k in hit}
+        stats = {
+            "drawn_meshlets": cull1["drawn_meshlets"] + phase2.sum(),
+            "rasterized_triangles": cull1["rasterized_triangles"],
+        }
+    else:
+        closest_fn, _ = trace.make_tracer(
+            tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
+        )
+        hit = closest_fn(o, d, 1e-4, jnp.inf)
+
     hit = {k: v[inv] for k, v in hit.items()}
     o = o[inv]
     d = d[inv]
@@ -99,5 +176,7 @@ def render_gbuffer(
         # carried for shading without re-deriving from encodings (the
         # deferred shader decodes; tests assert the encodings round-trip)
         "surface": surface,
+        "hiz": hiz_mips,
+        "draw_stats": stats,
     }
     return gbuf

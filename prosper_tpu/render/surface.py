@@ -49,18 +49,14 @@ def evaluate_surface(
     w = 1.0 - u - v
 
     aidx = static_scene["wt_aidx"][tri]  # (R, 3) vertex arena indices
-    an = static_scene["a_normal"]
-    at = static_scene["a_tangent"]
-    auv = static_scene["a_uv"]
+    ap = static_scene["a_packed"]  # (V, 12): n3 | t4 | uv2 | pad
 
-    n0, n1, n2 = an[aidx[..., 0]], an[aidx[..., 1]], an[aidx[..., 2]]
-    t0, t1, t2 = at[aidx[..., 0]], at[aidx[..., 1]], at[aidx[..., 2]]
-    uv0, uv1, uv2 = auv[aidx[..., 0]], auv[aidx[..., 1]], auv[aidx[..., 2]]
-
+    a0, a1, a2 = ap[aidx[..., 0]], ap[aidx[..., 1]], ap[aidx[..., 2]]
     # interpolate(v0,v1,v2, baryCoord): w*v0 + u*v1 + v*v2
-    n_obj = w * n0 + u * n1 + v * n2
-    t_obj4 = w * t0 + u * t1 + v * t2
-    uv = w * uv0 + u * uv1 + v * uv2
+    ai = w * a0 + u * a1 + v * a2
+    n_obj = ai[..., 0:3]
+    t_obj4 = ai[..., 3:7]
+    uv = ai[..., 7:9]
 
     inst = static_scene["wt_instance"][tri]
     nm = frame["normal_transforms"][inst]  # (R, 3, 3)

@@ -80,9 +80,29 @@ def pack_rgba8(img: np.ndarray) -> np.ndarray:
     ).reshape(-1)
 
 
+def pack_rgba8_quads(img: np.ndarray) -> np.ndarray:
+    """(H, W, 4) u8 -> (H*W, 4) u32 bilinear quads with REPEAT wrap.
+
+    Quad i = y*W + x stores texels (x,y), (x+1,y), (x,y+1), (x+1,y+1)
+    (wrapped), so a bilinear fetch is ONE 16-byte row gather instead of
+    four scattered texel gathers — XLA gathers whole minor rows fast,
+    single elements slowly. 4x memory for ~4x fewer gathers.
+    """
+    flat = pack_rgba8(img)
+    h, w = img.shape[:2]
+    grid = flat.reshape(h, w)
+    xr = np.roll(grid, -1, axis=1)
+    yr = np.roll(grid, -1, axis=0)
+    xyr = np.roll(xr, -1, axis=0)
+    return np.stack(
+        [grid.reshape(-1), xr.reshape(-1), yr.reshape(-1), xyr.reshape(-1)],
+        axis=1,
+    )
+
+
 @dataclass
 class TextureArena:
-    data: np.ndarray  # (N,) u32 flat texel arena
+    data: np.ndarray  # (N, 4) u32 bilinear-quad arena
     # table[t, m] = (offset, width, height, flags) ; flags bit0 = srgb
     table: np.ndarray  # (T, MAX_MIPS, 4) i32
     n_mips: np.ndarray  # (T,) i32
@@ -113,7 +133,7 @@ def build_texture_arena(
         for m, mip in enumerate(mips):
             h, w = mip.shape[:2]
             table[slot, m] = (offset, w, h, 1 if srgb else 0)
-            chunks.append(pack_rgba8(mip))
+            chunks.append(pack_rgba8_quads(mip))
             offset += h * w
         # clamp table tail to last mip for out-of-range lods
         for m in range(len(mips), MAX_MIPS):

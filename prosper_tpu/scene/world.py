@@ -200,6 +200,13 @@ class World:
         self.a_tangent = np.concatenate([m.tangents for m in self.meshes])
         self.a_uv = np.concatenate([m.uv0 for m in self.meshes])
         self.a_position = np.concatenate([m.positions for m in self.meshes])
+        # interleaved attribute rows: ONE row gather per vertex fetch on
+        # TPU instead of three (normal3 | tangent4 | uv2 | pad3)
+        va = len(self.a_normal)
+        self.a_packed = np.zeros((va, 12), np.float32)
+        self.a_packed[:, 0:3] = self.a_normal
+        self.a_packed[:, 3:7] = self.a_tangent
+        self.a_packed[:, 7:9] = self.a_uv
 
         # Draw instances: scene-order flattening of submodels
         # (World.cpp:500-503: order must stay stable for TLAS custom indices).
@@ -345,9 +352,7 @@ class World:
             "wc_cone_axis": self.wc_cone_axis,
             "wc_cone_cutoff": self.wc_cone_cutoff,
             "wc_tri_count": self.wc_tri_count,
-            "a_normal": self.a_normal,
-            "a_tangent": self.a_tangent,
-            "a_uv": self.a_uv,
+            "a_packed": self.a_packed,
             "materials": self.materials.uniforms(),
         }
 

@@ -101,9 +101,14 @@ def make_test_scene(n_boxes: int = 4, seed: int = 0):
         "wt_aidx": wt_aidx,
         "wt_instance": np.zeros(S, np.int32),
         "wt_material": np.ones(S, np.int32),
-        "a_normal": np.concatenate(a_normal),
-        "a_tangent": np.concatenate(a_tangent),
-        "a_uv": np.concatenate(a_uv),
+        "a_packed": np.concatenate(
+            [
+                np.concatenate(
+                    [n, t, uv, np.zeros((len(n), 3), np.float32)], axis=1
+                )
+                for n, t, uv in zip(a_normal, a_tangent, a_uv)
+            ]
+        ),
         "materials": materials,
     }
 
@@ -129,9 +134,9 @@ def make_test_scene(n_boxes: int = 4, seed: int = 0):
         "lights": light_uniforms(lights),
     }
 
-    # 1px white default texture arena
+    # 1px white default texture arena (quad layout)
     arena = {
-        "data": np.array([0xFFFFFFFF], np.uint32),
+        "data": np.full((1, 4), 0xFFFFFFFF, np.uint32),
         "table": np.zeros((1, 13, 4), np.int32)
         + np.array([0, 1, 1, 0], np.int32)[None, None, :],
         "n_mips": np.ones(1, np.int32),
