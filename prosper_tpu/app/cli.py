@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--contrast", type=float, default=1.0)
     r.add_argument("--max-bounces", type=int, default=3)
     r.add_argument("--taa", action="store_true", help="TAA resolve (deferred mode)")
+    r.add_argument("--ibl", action="store_true", help="IBL + procedural sky env")
+    r.add_argument("--culling", action="store_true", help="two-phase meshlet culling (deferred)")
     r.add_argument("--bloom", action="store_true", help="bloom (deferred mode)")
     r.add_argument("--dof", action="store_true", help="depth of field (deferred mode)")
     r.add_argument("--out", default="out/frame.png")
@@ -108,6 +110,16 @@ def main(argv: list[str] | None = None) -> int:
 
     render_fn = render_modes()[args.mode]
 
+    ibl_data = None
+    env = None
+    if args.ibl:
+        from ..ops.ibl import build_ibl, procedural_sky
+
+        env = procedural_sky(256)
+        ibl_data = build_ibl(env)
+        ibl_data["env"] = env
+        log_info("IBL generated")
+
     state = None
     img = None
     for f in range(args.frames):
@@ -136,6 +148,9 @@ def main(argv: list[str] | None = None) -> int:
             use_taa=args.taa,
             use_bloom=args.bloom,
             use_dof=args.dof,
+            use_culling=args.culling,
+            ibl_data=ibl_data,
+            env=env,
         )
         img.block_until_ready()
         log_info("frame %d: %.1f ms", f, (time.time() - t0) * 1e3)

@@ -26,6 +26,7 @@ def shade_deferred(
     cam: dict,
     width: int,
     height: int,
+    ibl_data: dict | None = None,
 ):
     """Clustered deferred shading over the flat G-buffer."""
     R = width * height
@@ -65,12 +66,18 @@ def shade_deferred(
         cam["near"],
         cam["far"],
     )
+    if ibl_data is not None:
+        from ..ops.ibl import eval_ibl
+
+        color = color + eval_ibl(surface, ibl_data)
     return jnp.where(gbuf["valid"][..., None], color, 0.0)
 
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "use_taa", "use_bloom", "use_dof"),
+    static_argnames=(
+        "width", "height", "use_taa", "use_bloom", "use_dof", "use_culling"
+    ),
 )
 def render_deferred(
     static_scene: dict,
@@ -86,6 +93,9 @@ def render_deferred(
     use_bloom: bool = False,
     use_dof: bool = False,
     taa_history: jnp.ndarray | None = None,
+    ibl_data: dict | None = None,
+    use_culling: bool = False,
+    prev_hiz: list | None = None,
 ):
     """Deferred frame + optional post chain, in the reference's pass order
     (Renderer.cpp:516-584): bloom -> TAA -> DoF -> tone map.
@@ -94,10 +104,30 @@ def render_deferred(
     """
     from .gbuffer import render_gbuffer
 
-    gbuf = render_gbuffer(static_scene, frame, arena, cam, width, height)
+    gbuf = render_gbuffer(
+        static_scene, frame, arena, cam, width, height,
+        use_culling=use_culling, prev_hiz=prev_hiz,
+    )
     clusters = build_light_clusters(cam, frame["lights"], width, height)
-    color = shade_deferred(gbuf, clusters, frame["lights"], cam, width, height)
+    color = shade_deferred(
+        gbuf, clusters, frame["lights"], cam, width, height, ibl_data
+    )
     hdr = color.reshape(height, width, 3)
+    if ibl_data is not None and "env" in ibl_data:
+        # skybox background (SkyboxRenderer analog): sample the env along
+        # the view ray for miss pixels
+        from ..ops.ibl import sample_cubemap
+        from ..ops.rays import pinhole_rays
+
+        ys, xs = jnp.meshgrid(
+            (jnp.arange(height, dtype=jnp.float32) + 0.5) / height,
+            (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
+            indexing="ij",
+        )
+        _, vd = pinhole_rays(cam, jnp.stack([xs, ys], -1))
+        sky = sample_cubemap(ibl_data["env"], vd)
+        valid = gbuf["valid"].reshape(height, width, 1)
+        hdr = jnp.where(valid, hdr, sky)
 
     if use_bloom:
         from ..ops.bloom import bloom_multi_res
@@ -139,7 +169,7 @@ def deferred_entry(
     use_taa=False,
     use_bloom=False,
     use_dof=False,
-    **_,
+    **kwargs,
 ):
     img, history = render_deferred(
         static,
@@ -155,5 +185,7 @@ def deferred_entry(
         use_bloom,
         use_dof,
         taa_history=state,
+        ibl_data=kwargs.get("ibl_data"),
+        use_culling=kwargs.get("use_culling", False),
     )
     return img, history

@@ -65,6 +65,7 @@ def pt_trace_pixels(
     max_bounces: int = 3,
     use_dof: bool = False,
     clamp_indirect: bool = False,
+    env: jnp.ndarray | None = None,
 ):
     """Path-trace an arbitrary flat pixel list -> ((R,3) color, ray count).
 
@@ -132,6 +133,18 @@ def pt_trace_pixels(
         )
         hit = {k: v[inv_perm] for k, v in hit.items()}
         hit_valid = (hit["tri"] >= 0) & active
+        # IBL skybox on miss (main.rgen:246-254)
+        if env is not None:
+            from ..ops.ibl import sample_cubemap
+
+            missed = active & (hit["tri"] < 0)
+            sky = throughput * sample_cubemap(env, ray_d)
+            sky_contrib = jnp.where(missed[..., None], sky, 0.0)
+            if clamp_indirect:
+                sky_contrib = jnp.where(
+                    bounce > 0, jnp.clip(sky_contrib, 0.0, 2.0), sky_contrib
+                )
+            color = color + sky_contrib
         surface = evaluate_surface(static_scene, frame, arena, ray_o, ray_d, hit)
 
         # ---- direct lighting (main.rgen:196-226) ----
@@ -292,6 +305,7 @@ def pt_render_sample(
     use_dof: bool = False,
     clamp_indirect: bool = False,
     return_stats: bool = False,
+    env: jnp.ndarray | None = None,
 ):
     """One full-frame 1-spp sample pass -> (H*W, 3) linear color in
     row-major pixel order (+ ray count when return_stats).
@@ -313,6 +327,7 @@ def pt_render_sample(
         max_bounces,
         use_dof,
         clamp_indirect,
+        env,
     )
     color = color[jnp.asarray(inv_np)]
     if return_stats:
@@ -342,11 +357,13 @@ def pt_entry(
     frame_index=0,
     state=None,
     accumulate=True,
+    env=None,
     **_,
 ):
     """CLI-facing PT mode: renders one sample, accumulates, tonemaps."""
     sample = pt_render_sample(
-        static, frame, arena, cam, width, height, frame_index, max_bounces
+        static, frame, arena, cam, width, height, frame_index, max_bounces,
+        env=env,
     ).reshape(height, width, 3)
     if state is None or not accumulate:
         color, count = sample, jnp.ones((height, width), jnp.float32)
