@@ -56,10 +56,30 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--culling", action="store_true", help="two-phase meshlet culling (deferred)")
     r.add_argument("--bloom", action="store_true", help="bloom (deferred mode)")
     r.add_argument("--dof", action="store_true", help="depth of field (deferred mode)")
+    r.add_argument(
+        "--draw-type",
+        default="default",
+        help="debug AOV (forward mode): primitive_id|meshlet_id|mesh_id|"
+        "material_id|position|shading_normal|texcoord0|albedo|roughness|metallic",
+    )
+    r.add_argument("--dump-debug", default=None, metavar="PATH",
+                   help="TextureDebug analog: also dump the raw HDR frame")
     r.add_argument("--out", default="out/frame.png")
     r.add_argument("--max-texture-dim", type=int, default=2048)
+    r.add_argument("--streaming", action="store_true",
+                   help="async asset streaming (deferred loading)")
+    r.add_argument("--no-cache", action="store_true", help="bypass asset caches")
+    r.add_argument("--fps-limit", type=float, default=0.0,
+                   help="cap frame rate like the reference's spin limiter (0 = off)")
+    r.add_argument("--profile", action="store_true", help="per-pass timing report")
     r.add_argument("--platform", default=None, help="force JAX platform (cpu/tpu)")
     return p
+
+
+def _draw_type_index(name: str) -> int:
+    from ..render.debug import DRAW_TYPE_NAMES
+
+    return DRAW_TYPE_NAMES.index(name.lower())
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -90,9 +110,17 @@ def main(argv: list[str] | None = None) -> int:
     from ..scene.world import World
     from ..utils.logger import log_info
 
+    from ..scene.caches import enable_compile_cache
+
+    enable_compile_cache()
+
     t0 = time.time()
-    world = World(args.scene)
-    arena = build_texture_arena(world.doc, max_dim=args.max_texture_dim)
+    world = World(args.scene, use_cache=not args.no_cache, streaming=args.streaming)
+    arena = build_texture_arena(
+        world.doc,
+        max_dim=args.max_texture_dim,
+        scene_path=None if args.no_cache else args.scene,
+    )
     log_info("Scene ready in %.2fs", time.time() - t0)
 
     static = {
@@ -120,9 +148,28 @@ def main(argv: list[str] | None = None) -> int:
         ibl_data["env"] = env
         log_info("IBL generated")
 
+    from ..utils.profiler import Profiler
+
+    profiler = Profiler(sync_device=args.profile)
+
     state = None
     img = None
     for f in range(args.frames):
+        profiler.start_frame()
+        if args.streaming:
+            if f == 0:
+                world.start_streaming()
+            if world.poll_streaming() and world.streaming_dirty:
+                # adopt: re-stream the touched arenas to HBM
+                static = {
+                    k: (
+                        {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                        if isinstance(v, dict)
+                        else jnp.asarray(v)
+                    )
+                    for k, v in world.static_scene_arrays().items()
+                }
+                world.streaming_dirty = False
         t_anim = args.time + (f / 60.0 if args.animate else 0.0)
         frame = world.frame_arrays(t_anim)
         frame_dev = {
@@ -151,13 +198,28 @@ def main(argv: list[str] | None = None) -> int:
             use_culling=args.culling,
             ibl_data=ibl_data,
             env=env,
+            draw_type=_draw_type_index(args.draw_type),
         )
         img.block_until_ready()
-        log_info("frame %d: %.1f ms", f, (time.time() - t0) * 1e3)
+        frame_ms = (time.time() - t0) * 1e3
+        log_info("frame %d: %.1f ms", f, frame_ms)
         cam_obj.end_frame()
+        report = profiler.end_frame()
+        if args.profile:
+            print(report.table())
+        if args.fps_limit > 0:
+            # spin-to-deadline frame cap (App.cpp capFramerate analog)
+            target = 1.0 / args.fps_limit
+            while (time.time() - t0) < target:
+                pass
 
     write_png(args.out, np.asarray(img))
     log_info("wrote %s", args.out)
+    if args.dump_debug:
+        from ..render.debug import dump_texture
+
+        dump_texture(img, args.dump_debug)
+        log_info("dumped %s(.npy)", args.dump_debug)
     return 0
 
 

@@ -70,7 +70,7 @@ def eval_all_lights(surface: dict, lights: dict) -> jnp.ndarray:
     return color
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "draw_type"))
 def render_forward(
     static_scene: dict,
     frame: dict,
@@ -81,6 +81,7 @@ def render_forward(
     height: int,
     exposure: float = 1.0,
     contrast: float = 1.0,
+    draw_type: int = 0,
 ):
     """One forward frame -> (H, W, 3) display-encoded image."""
     # pixel-center rays (no jitter for the still-frame golden), traced
@@ -105,6 +106,13 @@ def render_forward(
     o = o[inv]
     d = d[inv]
     surface = evaluate_surface(static_scene, frame, arena, o, d, hit)
+    if draw_type != 0:
+        # debug AOV path (commonDebugDraw): raw values, no tone map
+        from .debug import DrawType, debug_color
+
+        dbg = debug_color(DrawType(draw_type), surface, hit, static_scene)
+        dbg = jnp.where(surface["valid"][..., None], dbg, 0.0)
+        return jnp.clip(dbg.reshape(height, width, 3), 0.0, 1.0)
     color = eval_all_lights(surface, frame["lights"])
     color = jnp.where(surface["valid"][..., None], color, 0.0)
     img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)

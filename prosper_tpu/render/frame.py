@@ -25,10 +25,12 @@ def _forward_entry(
     exposure=1.0,
     contrast=1.0,
     state=None,
+    draw_type=0,
     **_,
 ):
     img = render_forward(
-        static, frame, arena, cam, lut, width, height, exposure, contrast
+        static, frame, arena, cam, lut, width, height, exposure, contrast,
+        draw_type,
     )
     return img, state
 

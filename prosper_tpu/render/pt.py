@@ -126,7 +126,12 @@ def pt_trace_pixels(
             bounce > 0, key, jnp.arange(key.shape[0], dtype=jnp.int32)
         )
         perm = jnp.argsort(key, stable=True)
-        inv_perm = jnp.argsort(perm, stable=True)
+        # scatter inverse: cheaper than a second argsort
+        inv_perm = (
+            jnp.zeros_like(perm)
+            .at[perm]
+            .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
+        )
 
         hit = trace_closest_fn(
             ray_o[perm], ray_d[perm], 0.0, ray_tmax[perm]

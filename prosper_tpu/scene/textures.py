@@ -111,13 +111,90 @@ class TextureArena:
         return {"data": self.data, "table": self.table, "n_mips": self.n_mips}
 
 
+def decode_image(doc: GltfDocument, index: int, max_dim: int | None,
+                 neutral_rgba=None) -> np.ndarray:
+    """Decode one scene image to RGBA8 (stb-load analog), with the
+    missing-file neutral fallback."""
+    import os
+
+    img_spec = doc.images[index]
+    if img_spec.uri is not None:
+        path = os.path.join(doc.base_dir, img_spec.uri)
+        if os.path.exists(path):
+            img = load_image_rgba8(path)
+        else:
+            img = neutral_rgba
+    elif img_spec.data is not None:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(img_spec.data)) as im:
+            img = np.asarray(im.convert("RGBA"), np.uint8)
+    else:
+        img = neutral_rgba
+    if img is None:
+        img = np.full((1, 1, 4), 255, np.uint8)
+    if max_dim is not None and max(img.shape[:2]) > max_dim:
+        from PIL import Image
+
+        h, w = img.shape[:2]
+        scale = max_dim / max(h, w)
+        im = Image.fromarray(img).resize(
+            (max(int(w * scale), 1), max(int(h * scale), 1)), Image.LANCZOS
+        )
+        img = np.asarray(im, np.uint8)
+    return img
+
+
+def image_mips_cached(
+    doc: GltfDocument,
+    index: int,
+    max_dim: int | None,
+    srgb: bool,
+    neutral_rgba,
+    scene_path: str | None = None,
+) -> list[np.ndarray]:
+    """Decode + mip one image through the versioned texture cache
+    (Texture2D::init's DDS-cache flow; codec swapped to RGBA8 mips).
+    Returns the (H, W, 4) u8 mip chain."""
+    from .caches import load_texture_cache, save_texture_cache, texture_cache_path
+
+    cpath = None
+    uri = doc.images[index].uri
+    if scene_path and uri:
+        cpath = texture_cache_path(scene_path, uri, max_dim)
+        cached = load_texture_cache(cpath)
+        if cached is not None and cached[1] == srgb:
+            return cached[0]
+    img = decode_image(doc, index, max_dim, neutral_rgba)
+    mips = generate_mips(img, srgb)[:MAX_MIPS]
+    if cpath:
+        try:
+            save_texture_cache(cpath, mips, srgb)
+        except OSError:
+            pass
+    return mips
+
+
+def neutral_image(doc: GltfDocument, index: int) -> np.ndarray:
+    """Missing-file fallback: flat normal for normal maps, white else."""
+    normal_images = {
+        m.normal_texture.image for m in doc.materials if m.normal_texture.image >= 0
+    }
+    if index in normal_images:
+        return np.array([[[128, 128, 255, 255]]], np.uint8)
+    return np.full((1, 1, 4), 255, np.uint8)
+
+
 def build_texture_arena(
-    doc: GltfDocument, max_dim: int | None = None
+    doc: GltfDocument,
+    max_dim: int | None = None,
+    scene_path: str | None = None,
 ) -> TextureArena:
-    """Decode all scene images, mip them, pack into the flat arena.
+    """Decode all scene images, mip them, pack into the flat quad arena.
 
     Slot 0: 1px white default. Image i -> slot i+1 (material tables already
-    use the +1 convention).
+    use the +1 convention). With scene_path, mips go through the
+    versioned texture cache.
     """
     color_spaces = doc.image_color_spaces()
     chunks: list[np.ndarray] = []
@@ -126,9 +203,8 @@ def build_texture_arena(
     n_mips = np.zeros(n_tex, np.int32)
     offset = 0
 
-    def add_texture(slot: int, img: np.ndarray, srgb: bool) -> None:
+    def add_mips(slot: int, mips: list[np.ndarray], srgb: bool) -> None:
         nonlocal offset
-        mips = generate_mips(img, srgb)[:MAX_MIPS]
         n_mips[slot] = len(mips)
         for m, mip in enumerate(mips):
             h, w = mip.shape[:2]
@@ -140,45 +216,14 @@ def build_texture_arena(
             table[slot, m] = table[slot, len(mips) - 1]
 
     # default: 1px white, linear
-    add_texture(0, np.full((1, 1, 4), 255, np.uint8), srgb=False)
+    add_mips(0, [np.full((1, 1, 4), 255, np.uint8)], srgb=False)
 
-    import os
-
-    # neutral fallbacks when an image file is missing: flat normal for
-    # normal maps, white otherwise
-    normal_images = {
-        m.normal_texture.image for m in doc.materials if m.normal_texture.image >= 0
-    }
-
-    def neutral(i: int) -> np.ndarray:
-        if i in normal_images:
-            return np.array([[[128, 128, 255, 255]]], np.uint8)
-        return np.full((1, 1, 4), 255, np.uint8)
-
-    for i, img_spec in enumerate(doc.images):
-        if img_spec.uri is not None:
-            path = os.path.join(doc.base_dir, img_spec.uri)
-            if os.path.exists(path):
-                img = load_image_rgba8(path)
-            else:
-                img = neutral(i)
-        elif img_spec.data is not None:
-            from PIL import Image
-
-            with Image.open(io.BytesIO(img_spec.data)) as im:
-                img = np.asarray(im.convert("RGBA"), np.uint8)
-        else:
-            img = neutral(i)
-        if max_dim is not None and max(img.shape[:2]) > max_dim:
-            from PIL import Image
-
-            h, w = img.shape[:2]
-            scale = max_dim / max(h, w)
-            im = Image.fromarray(img).resize(
-                (max(int(w * scale), 1), max(int(h * scale), 1)), Image.LANCZOS
-            )
-            img = np.asarray(im, np.uint8)
-        add_texture(i + 1, img, srgb=color_spaces[i] == "srgb")
+    for i in range(len(doc.images)):
+        srgb = color_spaces[i] == "srgb"
+        mips = image_mips_cached(
+            doc, i, max_dim, srgb, neutral_image(doc, i), scene_path
+        )
+        add_mips(i + 1, mips, srgb)
 
     return TextureArena(
         data=np.concatenate(chunks).astype(np.uint32),

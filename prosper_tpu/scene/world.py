@@ -146,50 +146,140 @@ class DrawInstances:
     material: np.ndarray  # (D,) u32
 
 
+def _process_prim(prim) -> dict:
+    """Heavy mesh processing (the loadNextMesh pipeline analog): normals/
+    tangent fallback, Morton clustering, bounds. Returns plain arrays for
+    caching."""
+    tris = prim.indices.reshape(-1, 3).astype(np.uint32)
+    normals = (
+        prim.normals
+        if prim.normals is not None
+        else _smooth_normals(prim.positions, tris)
+    )
+    tangents = (
+        prim.tangents if prim.tangents is not None else _default_tangents(normals)
+    )
+    uv0 = (
+        prim.uv0
+        if prim.uv0 is not None
+        else np.zeros((len(prim.positions), 2), np.float32)
+    )
+    cl = build_clusters(prim.positions, prim.indices)
+    return {
+        "positions": prim.positions.astype(np.float32),
+        "normals": normals.astype(np.float32),
+        "tangents": tangents.astype(np.float32),
+        "uv0": uv0.astype(np.float32),
+        "tri_vidx": cl.tri_vidx,
+        "cluster_offset": cl.cluster_offset,
+        "cluster_count": cl.cluster_count,
+        "aabb_min": cl.aabb_min,
+        "aabb_max": cl.aabb_max,
+        "cone_apex": cl.cone_apex,
+        "cone_axis": cl.cone_axis,
+        "cone_cutoff": cl.cone_cutoff,
+        "sphere_radius": cl.sphere_radius,
+    }
+
+
+def _mesh_from_arrays(a: dict, material: int) -> MeshData:
+    return MeshData(
+        clusters=MeshClusters(
+            tri_vidx=a["tri_vidx"],
+            cluster_offset=a["cluster_offset"],
+            cluster_count=a["cluster_count"],
+            aabb_min=a["aabb_min"],
+            aabb_max=a["aabb_max"],
+            cone_apex=a["cone_apex"],
+            cone_axis=a["cone_axis"],
+            cone_cutoff=a["cone_cutoff"],
+            sphere_radius=a["sphere_radius"],
+        ),
+        positions=a["positions"],
+        normals=a["normals"],
+        tangents=a["tangents"],
+        uv0=a["uv0"],
+        material=material,
+    )
+
+
 class World:
     """Owns scene data and produces the per-frame GpuScene pytree."""
 
-    def __init__(self, path: str, scene_index: int | None = None) -> None:
+    def __init__(
+        self,
+        path: str,
+        scene_index: int | None = None,
+        use_cache: bool = True,
+        streaming: bool = False,
+    ) -> None:
         log_info("Loading world %s", path)
+        self.path = path
         self.doc: GltfDocument = load_gltf(path)
         self.graph: SceneGraph = build_scene_graph(self.doc, scene_index)
         self.lights: LightArrays = load_lights(self.doc)
         self.materials: MaterialTable = _build_materials(self.doc)
 
         # Flatten mesh primitives into the reference's flat mesh list
-        # (one "mesh" per glTF primitive, WorldData::loadModels).
+        # (one "mesh" per glTF primitive, WorldData::loadModels), going
+        # through the versioned mesh cache (DeferredLoadingContext
+        # readCache/writeCache analog).
+        from .caches import load_mesh_cache, mesh_cache_path, save_mesh_cache
+
+        self.streaming = streaming
+        self._streaming_ctx = None
+        self.streaming_dirty = False
+        self._use_cache = use_cache
         self.meshes: list[MeshData] = []
         self.model_first_mesh: list[int] = []  # per glTF mesh: first flat index
-        for gltf_mesh in self.doc.meshes:
+        self._prim_refs = []  # (mesh_index flat, gltf mesh i, prim i, prim)
+        for mi, gltf_mesh in enumerate(self.doc.meshes):
             self.model_first_mesh.append(len(self.meshes))
-            for prim in gltf_mesh.primitives:
-                tris = prim.indices.reshape(-1, 3).astype(np.uint32)
-                normals = (
-                    prim.normals
-                    if prim.normals is not None
-                    else _smooth_normals(prim.positions, tris)
-                )
-                tangents = (
-                    prim.tangents
-                    if prim.tangents is not None
-                    else _default_tangents(normals)
-                )
-                uv0 = (
-                    prim.uv0
-                    if prim.uv0 is not None
-                    else np.zeros((len(prim.positions), 2), np.float32)
-                )
-                clusters = build_clusters(prim.positions, prim.indices)
-                self.meshes.append(
-                    MeshData(
-                        clusters=clusters,
-                        positions=prim.positions,
-                        normals=normals.astype(np.float32),
-                        tangents=tangents.astype(np.float32),
-                        uv0=uv0.astype(np.float32),
+            for pi, prim in enumerate(gltf_mesh.primitives):
+                if streaming:
+                    # placeholder: layout-only mesh; geometry adopted later
+                    # (unloaded meshes are invisible: tri_count 0 +
+                    # degenerate tris, the meshletCount==0 gate)
+                    n_tris = len(prim.indices) // 3
+                    n_cl = max(1, -(-n_tris // 124))
+                    nv = len(prim.positions)
+                    from .meshlets import MeshClusters as _MC
+
+                    placeholder = MeshData(
+                        clusters=_MC(
+                            tri_vidx=np.zeros((n_tris, 3), np.uint32),
+                            cluster_offset=(np.arange(n_cl) * 124).astype(np.uint32),
+                            cluster_count=np.zeros(n_cl, np.uint32),
+                            aabb_min=np.zeros((n_cl, 3), np.float32),
+                            aabb_max=np.zeros((n_cl, 3), np.float32),
+                            cone_apex=np.zeros((n_cl, 3), np.float32),
+                            cone_axis=np.tile(
+                                np.array([[0, 0, 1.0]], np.float32), (n_cl, 1)
+                            ),
+                            cone_cutoff=np.ones(n_cl, np.float32),
+                            sphere_radius=np.zeros(n_cl, np.float32),
+                        ),
+                        positions=np.zeros((nv, 3), np.float32),
+                        normals=np.zeros((nv, 3), np.float32),
+                        tangents=np.zeros((nv, 4), np.float32),
+                        uv0=np.zeros((nv, 2), np.float32),
                         material=prim.material + 1,
                     )
-                )
+                    self._prim_refs.append((len(self.meshes), mi, pi, prim))
+                    self.meshes.append(placeholder)
+                    continue
+                arrays = None
+                cpath = mesh_cache_path(path, mi, pi) if use_cache else None
+                if cpath:
+                    arrays = load_mesh_cache(cpath)
+                if arrays is None:
+                    arrays = _process_prim(prim)
+                    if cpath:
+                        try:
+                            save_mesh_cache(cpath, arrays)
+                        except OSError:
+                            pass  # read-only scene dir: skip caching
+                self.meshes.append(_mesh_from_arrays(arrays, prim.material + 1))
         self.model_first_mesh.append(len(self.meshes))
 
         # Vertex-attribute arena (GeometryMetadata-style offsets).
@@ -286,12 +376,14 @@ class World:
 
         n_real = 0
         c_global = 0
+        self._mesh_slots: dict[int, list[tuple[int, int]]] = {}
         for d in range(len(di.mesh)):
             mesh_idx = int(di.mesh[d])
             inst = int(di.model_instance[d])
             mesh = self.meshes[mesh_idx]
             cl = mesh.clusters
             voff = int(self.mesh_vertex_offset[mesh_idx])
+            self._mesh_slots.setdefault(mesh_idx, []).append((c_global, inst))
             for local_c in range(len(cl.cluster_offset)):
                 s = int(cl.cluster_offset[local_c])
                 cnt = int(cl.cluster_count[local_c])
@@ -413,6 +505,86 @@ class World:
             "lights": light_uniforms(la),
             "scene_camera": st.camera,
         }
+
+    # ------------------------------------------------------------------
+    # Asset streaming (DeferredLoadingContext analog)
+
+    def start_streaming(self) -> None:
+        """Launch the background loading worker (first-frame
+        World::startFrame behavior)."""
+        if not self.streaming or self._streaming_ctx is not None:
+            return
+        from .caches import load_mesh_cache, mesh_cache_path, save_mesh_cache
+        from .streaming import LoadedMesh, StreamingContext
+
+        def make_job(flat_idx, mi, pi, prim):
+            def job():
+                arrays = None
+                cpath = (
+                    mesh_cache_path(self.path, mi, pi) if self._use_cache else None
+                )
+                if cpath:
+                    arrays = load_mesh_cache(cpath)
+                if arrays is None:
+                    arrays = _process_prim(prim)
+                    if cpath:
+                        try:
+                            save_mesh_cache(cpath, arrays)
+                        except OSError:
+                            pass
+                return LoadedMesh(mesh_index=flat_idx, arrays=arrays)
+
+            return job
+
+        jobs = [make_job(*ref) for ref in self._prim_refs]
+        self._streaming_ctx = StreamingContext(jobs, [])
+        self._streaming_ctx.start()
+
+    def poll_streaming(self, budget: int | None = None) -> int:
+        """Adopt finished meshes into the arenas (pollMeshWorker). Returns
+        the number adopted; sets streaming_dirty when arenas changed."""
+        if self._streaming_ctx is None:
+            return 0
+        from .streaming import MAX_ADOPTIONS_PER_FRAME
+
+        adopted = self._streaming_ctx.poll(budget or MAX_ADOPTIONS_PER_FRAME)
+        from .meshlets import CLUSTER_TRI_PAD as pad
+
+        for item in adopted:
+            mesh_idx = item.mesh_index
+            mesh = _mesh_from_arrays(item.arrays, self.meshes[mesh_idx].material)
+            self.meshes[mesh_idx] = mesh
+            cl = mesh.clusters
+            voff = int(self.mesh_vertex_offset[mesh_idx])
+            nv = mesh.vertex_count
+            self.a_packed[voff : voff + nv, 0:3] = mesh.normals
+            self.a_packed[voff : voff + nv, 3:7] = mesh.tangents
+            self.a_packed[voff : voff + nv, 7:9] = mesh.uv0
+            for c_base, _inst in self._mesh_slots.get(mesh_idx, []):
+                for local_c in range(len(cl.cluster_offset)):
+                    s0 = int(cl.cluster_offset[local_c])
+                    cnt = int(cl.cluster_count[local_c])
+                    tris = cl.tri_vidx[s0 : s0 + cnt]
+                    base = (c_base + local_c) * pad
+                    self.wt_p0[base : base + cnt] = mesh.positions[tris[:, 0]]
+                    self.wt_p1[base : base + cnt] = mesh.positions[tris[:, 1]]
+                    self.wt_p2[base : base + cnt] = mesh.positions[tris[:, 2]]
+                    self.wt_aidx[base : base + cnt] = tris + np.uint32(voff)
+                    cg = c_base + local_c
+                    self.wc_aabb_min_obj[cg] = cl.aabb_min[local_c]
+                    self.wc_aabb_max_obj[cg] = cl.aabb_max[local_c]
+                    self.wc_sphere_center[cg] = cl.cone_apex[local_c]
+                    self.wc_sphere_radius[cg] = cl.sphere_radius[local_c]
+                    self.wc_cone_axis[cg] = cl.cone_axis[local_c]
+                    self.wc_cone_cutoff[cg] = cl.cone_cutoff[local_c]
+                    self.wc_tri_count[cg] = cnt
+        if adopted:
+            self.streaming_dirty = True
+        return len(adopted)
+
+    @property
+    def streaming_done(self) -> bool:
+        return self._streaming_ctx is None or self._streaming_ctx.done
 
     def make_camera(
         self, resolution: tuple[int, int], apply_jitter: bool = False
