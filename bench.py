@@ -53,6 +53,11 @@ def main() -> int:
         for k, v in world.static_scene_arrays().items()
     }
     arena_dev = {k: jnp.asarray(v) for k, v in arena.uniforms().items()}
+    from prosper_tpu.ops.texture import pack_material_tables
+
+    arena_dev["mat_f32"], arena_dev["mat_i32"] = pack_material_tables(
+        world.static_scene_arrays()["materials"], arena_dev
+    )
     frame = world.frame_arrays(0.0)
     frame_dev = {
         k: (

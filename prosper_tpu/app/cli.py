@@ -128,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
         for k, v in world.static_scene_arrays().items()
     }
     arena_dev = {k: jnp.asarray(v) for k, v in arena.uniforms().items()}
+    from ..ops.texture import pack_material_tables
+
+    arena_dev["mat_f32"], arena_dev["mat_i32"] = pack_material_tables(
+        world.static_scene_arrays()["materials"], arena_dev
+    )
     lut = jnp.asarray(load_tony_mc_mapface())
     # camera jitter rides with TAA like the reference (Renderer.cpp:329-340)
     cam_obj = world.make_camera((args.width, args.height), apply_jitter=args.taa)

@@ -78,6 +78,68 @@ def sample_trilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, lod):
     return s0 * (1 - f) + s1 * f
 
 
+def pack_material_tables(materials: dict, arena: dict):
+    """Fold the material SoA + the three textures' mip-0 table entries
+    into two row tables so sampleMaterial costs 2 row gathers + 3 quad
+    gathers (XLA gathers rows fast, scattered scalars slowly).
+
+    mat_f32 (M, 8):  base_color_factor[4], metallic, roughness, cutoff, 0
+    mat_i32 (M, 16): alpha_mode, bc_tex, mr_tex, nrm_tex,
+                     bc[off,w,h,flags], mr[off,w,h,flags], nrm[off,w,h,flags]
+    """
+    import numpy as np
+
+    bc = np.asarray(materials["base_color_factor"])
+    m = len(bc)
+    f32 = np.zeros((m, 8), np.float32)
+    f32[:, 0:4] = bc
+    f32[:, 4] = np.asarray(materials["metallic_factor"])
+    f32[:, 5] = np.asarray(materials["roughness_factor"])
+    f32[:, 6] = np.asarray(materials["alpha_cutoff"])
+
+    table = np.asarray(arena["table"])
+    i32 = np.zeros((m, 16), np.int32)
+    i32[:, 0] = np.asarray(materials["alpha_mode"])
+    for j, key in enumerate(
+        ["base_color_tex", "metallic_roughness_tex", "normal_tex"]
+    ):
+        tex = np.asarray(materials[key])
+        i32[:, 1 + j] = tex
+        i32[:, 4 + 4 * j : 8 + 4 * j] = table[tex, 0]
+    return jnp.asarray(f32), jnp.asarray(i32)
+
+
+def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv):
+    """Fast-path sampleMaterial over the packed tables (lod 0)."""
+    f32 = arena["mat_f32"][mat_idx]  # (R, 8)
+    i32 = arena["mat_i32"][mat_idx]  # (R, 16)
+
+    base = _bilinear_entry(arena, i32[..., 4:8], uv) * f32[..., 0:4]
+    alpha_mode = i32[..., 0]
+    cutoff = f32[..., 6]
+    alpha = jnp.where(
+        alpha_mode == 2,
+        base[..., 3],
+        jnp.where((alpha_mode == 1) & (base[..., 3] < cutoff), 0.0, -1.0),
+    )
+    mr = _bilinear_entry(arena, i32[..., 8:12], uv)
+    roughness = jnp.maximum(mr[..., 1] * f32[..., 5], 0.05)
+    metallic = mr[..., 2] * f32[..., 4]
+    nrm = _bilinear_entry(arena, i32[..., 12:16], uv)
+    normal_ts = jnp.where(
+        (i32[..., 3] > 0)[..., None],
+        nrm[..., :3] * 2.0 - 1.0,
+        jnp.full(mat_idx.shape + (3,), -2.0, jnp.float32),
+    )
+    return {
+        "albedo": base[..., :3],
+        "alpha": alpha,
+        "roughness": roughness,
+        "metallic": metallic,
+        "normal_ts": normal_ts,
+    }
+
+
 def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=None):
     """sampleMaterial parity (materials.glsl:46-121).
 

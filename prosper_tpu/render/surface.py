@@ -59,16 +59,27 @@ def evaluate_surface(
     uv = ai[..., 7:9]
 
     inst = static_scene["wt_instance"][tri]
-    nm = frame["normal_transforms"][inst]  # (R, 3, 3)
+    if "inst_packed" in frame:
+        # one (R, 21) row gather: 3x4 transform | 3x3 normal matrix
+        ip = frame["inst_packed"][inst]
+        m = ip[..., :12].reshape(ip.shape[:-1] + (3, 4))
+        nm = ip[..., 12:21].reshape(ip.shape[:-1] + (3, 3))
+    else:
+        nm = frame["normal_transforms"][inst]  # (R, 3, 3)
+        m = frame["transforms"][inst]  # (R, 3, 4)
     n_ws = _normalize(jnp.einsum("...ij,...j->...i", nm, n_obj))
-    m = frame["transforms"][inst]  # (R, 3, 4)
     t_ws = _normalize(jnp.einsum("...ij,...j->...i", m[..., :3], t_obj4[..., :3]))
     t_sign = t_obj4[..., 3]
 
     position = ray_o + hit["t"][..., None] * ray_d
 
     material = static_scene["wt_material"][tri]
-    mat = sample_material(arena, static_scene["materials"], material, uv, lod)
+    if lod is None and "mat_f32" in arena:
+        from ..ops.texture import sample_material_packed
+
+        mat = sample_material_packed(arena, material, uv)
+    else:
+        mat = sample_material(arena, static_scene["materials"], material, uv, lod)
 
     # normal mapping when a normal texture and a real tangent exist
     has_map = (mat["normal_ts"][..., 0] != -2.0) & (t_sign != 0.0)

@@ -99,7 +99,24 @@ def load_lights(doc: GltfDocument) -> LightArrays:
 
 def light_uniforms(la: LightArrays) -> dict[str, np.ndarray]:
     """Device pytree for the shading kernels."""
+    # Compact packed rows in sampleLight index order: sun, then the
+    # *counted* points, then the counted spots (lighting.glsl:57-88).
+    pc, sc = int(la.point_count), int(la.spot_count)
+    rows = np.zeros((1 + MAX_POINT_LIGHTS + MAX_SPOT_LIGHTS, 12), np.float32)
+    rows[0, 1:4] = la.dir_irradiance
+    rows[0, 4:7] = la.dir_direction
+    rows[1 : 1 + pc, 0] = 1.0
+    rows[1 : 1 + pc, 1:4] = la.point_radiance[:pc]
+    rows[1 : 1 + pc, 4:7] = la.point_position[:pc]
+    rows[1 : 1 + pc, 7] = la.point_radius[:pc]
+    rows[1 + pc : 1 + pc + sc, 0] = 2.0
+    rows[1 + pc : 1 + pc + sc, 1:4] = la.spot_radiance[:sc]
+    rows[1 + pc : 1 + pc + sc, 4:7] = la.spot_position[:sc]
+    rows[1 + pc : 1 + pc + sc, 7] = la.spot_angle_scale[:sc]
+    rows[1 + pc : 1 + pc + sc, 8:11] = la.spot_direction[:sc]
+    rows[1 + pc : 1 + pc + sc, 11] = la.spot_angle_offset[:sc]
     return {
+        "packed_rows": rows,
         "dir_irradiance": la.dir_irradiance,
         "dir_direction": la.dir_direction,
         "point_radiance": la.point_radiance,

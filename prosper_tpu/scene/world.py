@@ -489,9 +489,16 @@ class World:
             else np.eye(3, dtype=np.float32)[None]
         )
 
+        inst_packed = np.concatenate(
+            [transforms.reshape(len(transforms), 12),
+             normal_ms.reshape(len(normal_ms), 9)],
+            axis=1,
+        ).astype(np.float32)
+
         return {
             "wc_aabb_min_w": wmin,  # (C, 3) world-space cluster AABBs
             "wc_aabb_max_w": wmax,
+            "inst_packed": inst_packed,  # (I, 21): 3x4 | 3x3 rows
             "transforms": transforms,  # (I, 3, 4)
             "normal_transforms": normal_ms,  # (I, 3, 3)
             "bvh_min": bvh.nodes_min,
