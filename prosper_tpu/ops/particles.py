@@ -207,6 +207,8 @@ def render_particles(
     visible = visible & (alpha > thresh)
 
     col = jnp.asarray(color, jnp.float32)
-    return hdr.at[ys, xs].set(
-        jnp.where(visible[:, None], col, hdr[ys, xs])
-    )
+    # invisible particles scatter out of bounds -> dropped (duplicate
+    # pixel indices would otherwise let a dead particle overwrite a
+    # visible one's splat)
+    ys = jnp.where(visible, ys, h)
+    return hdr.at[ys, xs].set(jnp.broadcast_to(col, (ys.shape[0], 3)))
