@@ -75,9 +75,36 @@ def build_clusters(
     indices: np.ndarray,
     max_tris: int = MAX_MESHLET_TRIANGLES,
 ) -> MeshClusters:
-    """Cluster a triangle mesh into spatially-coherent meshlets."""
+    """Cluster a triangle mesh into spatially-coherent meshlets.
+
+    Uses the native C++ pipeline (cpp/asset_pipeline.cpp) when built;
+    numpy otherwise."""
+    from . import native
+
     tris = indices.reshape(-1, 3).astype(np.uint32)
     v = positions.astype(np.float32)
+
+    if native.available():
+        order = native.morton_order(v, tris)
+        tris = tris[order]
+        n_tris = len(tris)
+        n_clusters = max(1, -(-n_tris // max_tris))
+        offsets = (np.arange(n_clusters) * max_tris).astype(np.uint32)
+        counts = np.minimum(n_tris - offsets, max_tris).astype(np.uint32)
+        bounds = native.cluster_bounds(v, tris, offsets, counts)
+        aabb_min, aabb_max, center, radius, axis, cutoff = bounds
+        return MeshClusters(
+            tri_vidx=tris,
+            cluster_offset=offsets,
+            cluster_count=counts,
+            aabb_min=aabb_min,
+            aabb_max=aabb_max,
+            cone_apex=center,
+            cone_axis=axis,
+            cone_cutoff=cutoff,
+            sphere_radius=radius,
+        )
+
     p0, p1, p2 = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
     centroids = (p0 + p1 + p2) / 3.0
     order = morton_order(centroids)

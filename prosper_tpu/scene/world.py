@@ -147,18 +147,28 @@ class DrawInstances:
 
 
 def _process_prim(prim) -> dict:
-    """Heavy mesh processing (the loadNextMesh pipeline analog): normals/
-    tangent fallback, Morton clustering, bounds. Returns plain arrays for
-    caching."""
+    """Heavy mesh processing (the loadNextMesh pipeline analog): normal/
+    tangent generation, Morton clustering, bounds — native C++ when the
+    asset-pipeline library is built (cpp/asset_pipeline.cpp). Returns
+    plain arrays for caching."""
+    from . import native
+
     tris = prim.indices.reshape(-1, 3).astype(np.uint32)
     normals = (
         prim.normals
         if prim.normals is not None
-        else _smooth_normals(prim.positions, tris)
+        else native.smooth_normals(prim.positions, tris)
     )
-    tangents = (
-        prim.tangents if prim.tangents is not None else _default_tangents(normals)
-    )
+    if prim.tangents is not None:
+        tangents = prim.tangents
+    elif prim.uv0 is not None:
+        # UV-space tangents (the MikkTSpace generation stage,
+        # DeferredLoadingContext generateTangents analog)
+        tangents = native.lengyel_tangents(
+            prim.positions, normals.astype(np.float32), prim.uv0, tris
+        )
+    else:
+        tangents = _default_tangents(normals)
     uv0 = (
         prim.uv0
         if prim.uv0 is not None
