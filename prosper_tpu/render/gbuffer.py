@@ -65,7 +65,24 @@ def render_gbuffer(
     uv_j = uv + jit * jnp.array([0.5, -0.5])  # NDC jitter -> uv units
     o, d = pinhole_rays(cam, uv_j)
 
+    import jax
+
     tris = trace.world_triangles(static_scene, frame)
+    use_full = jax.default_backend() != "cpu"
+    if use_full:
+        from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
+
+        packed_full = pack_tris_full(static_scene, frame)
+
+        def make_closest(mn, mx):
+            from functools import partial
+
+            return partial(trace_closest_full, packed_full, mn, mx)
+    else:
+        def make_closest(mn, mx):
+            from functools import partial
+
+            return partial(trace.trace_closest, tris, mn, mx)
     inv = jnp.asarray(inv_np)
     stats = {}
     hiz_mips = None
@@ -89,8 +106,7 @@ def render_gbuffer(
         mn1, mx1 = _masked_aabbs(
             frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], cull1["visible"]
         )
-        closest_fn, _ = trace.make_tracer(tris, mn1, mx1)
-        hit = closest_fn(o, d, 1e-4, jnp.inf)
+        hit = make_closest(mn1, mx1)(o, d, 1e-4, jnp.inf)
 
         # fresh HiZ from phase-1 depth
         w2clip = cam["camera_to_clip"] @ cam["world_to_camera"]
@@ -114,24 +130,34 @@ def render_gbuffer(
         mn2, mx2 = _masked_aabbs(
             frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], phase2
         )
-        closest2, _ = trace.make_tracer(tris, mn2, mx2)
-        hit2 = closest2(o, d, 1e-4, jnp.inf)
+        hit2 = make_closest(mn2, mx2)(o, d, 1e-4, jnp.inf)
         better = hit2["t"] < hit["t"]
-        hit = {k: jnp.where(better, hit2[k], hit[k]) for k in hit}
+        hit = {
+            k: jnp.where(
+                better.reshape(better.shape + (1,) * (hit[k].ndim - 1)),
+                hit2[k],
+                hit[k],
+            )
+            for k in hit
+        }
         stats = {
             "drawn_meshlets": cull1["drawn_meshlets"] + phase2.sum(),
             "rasterized_triangles": cull1["rasterized_triangles"],
         }
     else:
-        closest_fn, _ = trace.make_tracer(
-            tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
-        )
-        hit = closest_fn(o, d, 1e-4, jnp.inf)
+        hit = make_closest(
+            frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
+        )(o, d, 1e-4, jnp.inf)
 
     hit = {k: v[inv] for k, v in hit.items()}
     o = o[inv]
     d = d[inv]
-    surface = evaluate_surface(static_scene, frame, arena, o, d, hit)
+    if use_full:
+        from .surface import evaluate_surface_from_attrs
+
+        surface = evaluate_surface_from_attrs(arena, o, d, hit)
+    else:
+        surface = evaluate_surface(static_scene, frame, arena, o, d, hit)
     valid = surface["valid"]
 
     pos = surface["position_ws"]

@@ -93,6 +93,18 @@ def pt_trace_pixels(
     wc_min = frame["wc_aabb_min_w"]
     wc_max = frame["wc_aabb_max_w"]
     trace_closest_fn, trace_any_fn = trace.make_tracer(tris, wc_min, wc_max)
+    use_full_kernel = jax.default_backend() != "cpu"
+    if use_full_kernel:
+        # fused hit+attribute kernel: surface attributes come out of the
+        # traversal's VMEM registers instead of post-pass XLA gathers
+        from functools import partial as _partial
+
+        from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
+
+        packed_full = pack_tris_full(static_scene, frame)
+        trace_closest_fn = _partial(
+            trace_closest_full, packed_full, wc_min, wc_max
+        )
     lights = frame["lights"]
     light_count = (1 + lights["point_count"] + lights["spot_count"]).astype(
         jnp.float32
@@ -150,7 +162,14 @@ def pt_trace_pixels(
                     bounce > 0, jnp.clip(sky_contrib, 0.0, 2.0), sky_contrib
                 )
             color = color + sky_contrib
-        surface = evaluate_surface(static_scene, frame, arena, ray_o, ray_d, hit)
+        if use_full_kernel:
+            from .surface import evaluate_surface_from_attrs
+
+            surface = evaluate_surface_from_attrs(arena, ray_o, ray_d, hit)
+        else:
+            surface = evaluate_surface(
+                static_scene, frame, arena, ray_o, ray_d, hit
+            )
 
         # ---- direct lighting (main.rgen:196-226) ----
         state, pick = prng.rnd01(state)

@@ -25,6 +25,47 @@ def mapped_normal(normal_ts, n, t, sgn):
     )
 
 
+def evaluate_surface_from_attrs(
+    arena: dict,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    hit: dict,
+):
+    """VisibleSurface from the fused hit kernel's interpolated attributes
+    (ops/trace_pallas_full.py): zero vertex/instance gathers — only the
+    material row + texture quad fetches remain."""
+    from ..ops.texture import sample_material_packed
+
+    n_ws = _normalize(hit["normal"])
+    t_ws = _normalize(hit["tangent"][..., :3])
+    t_sign = hit["tangent"][..., 3]
+    uv = hit["uv"]
+    material = hit["material"]
+    position = ray_o + hit["t"][..., None] * ray_d
+
+    mat = sample_material_packed(arena, material, uv)
+    has_map = (mat["normal_ts"][..., 0] != -2.0) & (t_sign != 0.0)
+    n_mapped = mapped_normal(mat["normal_ts"], n_ws, t_ws, t_sign)
+    normal_ws = jnp.where(has_map[..., None], n_mapped, n_ws)
+
+    inv_view = -ray_d
+    NoV = jnp.clip(jnp.sum(normal_ws * inv_view, axis=-1), 0.0, 1.0)
+    return {
+        "valid": hit["tri"] >= 0,
+        "position_ws": position,
+        "normal_ws": normal_ws,
+        "uv": uv,
+        "albedo": mat["albedo"],
+        "alpha": mat["alpha"],
+        "roughness": mat["roughness"],
+        "metallic": mat["metallic"],
+        "material": material,
+        "inv_view_ray": inv_view,
+        "NoV": NoV,
+        "linear_depth": hit["t"],
+    }
+
+
 def evaluate_surface(
     static_scene: dict,
     frame: dict,
