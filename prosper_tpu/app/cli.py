@@ -204,6 +204,9 @@ def main(argv: list[str] | None = None) -> int:
             ibl_data=ibl_data,
             env=env,
             draw_type=_draw_type_index(args.draw_type),
+            # stochastic-alpha any-hit only when the scene has non-opaque
+            # materials (scene.rahit parity)
+            alpha_rounds=2 if bool((world.materials.alpha_mode != 0).any()) else 0,
         )
         img.block_until_ready()
         frame_ms = (time.time() - t0) * 1e3

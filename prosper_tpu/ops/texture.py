@@ -140,6 +140,22 @@ def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv):
     }
 
 
+def sample_alpha_packed(arena: dict, mat_idx: jnp.ndarray, uv):
+    """sampleAlpha over packed tables (materials.glsl:123-147): one quad
+    gather. Returns the reference's signalling (-1 opaque, 0 failed mask,
+    else blend alpha)."""
+    f32 = arena["mat_f32"][mat_idx]
+    i32 = arena["mat_i32"][mat_idx]
+    a = _bilinear_entry(arena, i32[..., 4:8], uv)[..., 3] * f32[..., 3]
+    alpha_mode = i32[..., 0]
+    cutoff = f32[..., 6]
+    return jnp.where(
+        alpha_mode == 2,
+        a,
+        jnp.where((alpha_mode == 1) & (a < cutoff), 0.0, -1.0),
+    )
+
+
 def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=None):
     """sampleMaterial parity (materials.glsl:46-121).
 

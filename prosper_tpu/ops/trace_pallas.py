@@ -345,7 +345,10 @@ def _any_kernel(
         occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
         return (k + 1, occ)
 
-    init = (jnp.int32(0), jnp.zeros((TILE, 1), jnp.int32))
+    # lanes disabled via t_max <= t_min can never be hit; seeding them as
+    # 'done' lets the all-done early exit fire on mostly-dead tiles
+    # (callers mask disabled lanes, so reporting them occluded is benign)
+    init = (jnp.int32(0), (tmax <= t_min).astype(jnp.int32))
     _, occ = jax.lax.while_loop(cond, body, init)
     occ_out[0] = occ
 

@@ -105,6 +105,7 @@ def _kernel(
     attr_out,  # (1, TILE, 12): n3 | t4 | uv2 | mat | pad2
     tri_slab,  # VMEM scratch (2, 40, 128)
     list_smem,  # SMEM scratch (1, MAXC)
+    attr_scr,  # VMEM scratch (TILE, 12) - best attributes
     sems,
 ):
     count = counts_ref[pl.program_id(0)]
@@ -132,9 +133,10 @@ def _kernel(
         get_dma(0, 0).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+    attr_scr[...] = jnp.zeros((TILE, 12), jnp.float32)
 
     def body(k, state):
-        best_t, best_tri, best_attr = state
+        best_t, best_tri = state
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < count)
@@ -151,48 +153,52 @@ def _kernel(
         improved = tmin < best_t
         is_best = t == tmin
         j = jnp.min(jnp.where(is_best, lane, 128), axis=1, keepdims=True)
-        sel = is_best & (lane == j)
-        selw = sel.astype(jnp.float32)
-        w_b = 1.0 - u - v
 
-        # interpolate the winning lane's attributes: value = sum over the
-        # selected lane of (w*a0 + u*a1 + v*a2)
-        def interp(r0, r1, r2):
-            a = (
-                w_b * slab[r0 : r0 + 1, :]
-                + u * slab[r1 : r1 + 1, :]
-                + v * slab[r2 : r2 + 1, :]
-            )
-            return jnp.sum(a * selw, axis=1, keepdims=True)  # (TILE, 1)
+        # Attribute interpolation runs only when some ray improved this
+        # iteration (a scalar branch): after the first few clusters most
+        # visits improve nothing, so the ~50-op interpolation block is
+        # skipped and the loop costs the same as the plain kernel.
+        @pl.when(jnp.any(improved))
+        def _():
+            sel = is_best & (lane == j)
+            selw = sel.astype(jnp.float32)
+            w_b = 1.0 - u - v
 
-        attrs = [
-            interp(9 + c, 12 + c, 15 + c) for c in range(3)  # normal
-        ] + [
-            interp(18 + c, 22 + c, 26 + c) for c in range(4)  # tangent
-        ] + [
-            interp(30 + c, 32 + c, 34 + c) for c in range(2)  # uv
-        ]
-        mat_row = jnp.sum(slab[36:37, :] * selw, axis=1, keepdims=True)
-        new_attr = jnp.concatenate(
-            attrs + [mat_row, jnp.zeros((TILE, 2), jnp.float32)], axis=1
-        )  # (TILE, 12)
+            def interp(r0, r1, r2):
+                a = (
+                    w_b * slab[r0 : r0 + 1, :]
+                    + u * slab[r1 : r1 + 1, :]
+                    + v * slab[r2 : r2 + 1, :]
+                )
+                return jnp.sum(a * selw, axis=1, keepdims=True)  # (TILE, 1)
+
+            attrs = [
+                interp(9 + c, 12 + c, 15 + c) for c in range(3)  # normal
+            ] + [
+                interp(18 + c, 22 + c, 26 + c) for c in range(4)  # tangent
+            ] + [
+                interp(30 + c, 32 + c, 34 + c) for c in range(2)  # uv
+            ]
+            mat_row = jnp.sum(slab[36:37, :] * selw, axis=1, keepdims=True)
+            new_attr = jnp.concatenate(
+                attrs + [mat_row, jnp.zeros((TILE, 2), jnp.float32)], axis=1
+            )  # (TILE, 12)
+            attr_scr[...] = jnp.where(improved, new_attr, attr_scr[...])
 
         c = list_smem[0, k]
         best_tri = jnp.where(improved, c * CLUSTER_PAD + j, best_tri)
-        best_attr = jnp.where(improved, new_attr, best_attr)
         best_t = jnp.where(improved, tmin, best_t)
-        return (best_t, best_tri, best_attr)
+        return (best_t, best_tri)
 
     init = (
         tmax_ref[0],
         jnp.full((TILE, 1), -1, jnp.int32),
-        jnp.zeros((TILE, 12), jnp.float32),
     )
-    best_t, best_tri, best_attr = jax.lax.fori_loop(0, count, body, init)
+    best_t, best_tri = jax.lax.fori_loop(0, count, body, init)
 
     t_out[0] = best_t
     tri_out[0] = best_tri
-    attr_out[0] = best_attr
+    attr_out[0] = attr_scr[...]
 
 
 @partial(jax.jit, static_argnames=("max_clusters",))
@@ -259,6 +265,7 @@ def trace_closest_full(
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, 128), jnp.float32),
             pltpu.SMEM((1, maxc), jnp.int32),
+            pltpu.VMEM((TILE, 12), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )

@@ -66,8 +66,15 @@ def pt_trace_pixels(
     use_dof: bool = False,
     clamp_indirect: bool = False,
     env: jnp.ndarray | None = None,
+    alpha_rounds: int = 0,
 ):
     """Path-trace an arbitrary flat pixel list -> ((R,3) color, ray count).
+
+    alpha_rounds > 0 enables stochastic-alpha any-hit parity
+    (scene.rahit): ignored hits (failed mask test, or blend alpha below a
+    per-ray uniform) re-trace from just past the hit, up to alpha_rounds
+    times. The per-ray uniform is fixed per traceRay like the reference's
+    payload.randomSeed (scene.rahit:33-38).
 
     Taking explicit pixel coordinates makes the kernel shardable: each
     device of a mesh traces its own pixel slice (render/distributed.py),
@@ -126,13 +133,23 @@ def pt_trace_pixels(
         # random, so group rays by (origin cluster, direction octant) to
         # restore tight packet bounds; dead rays sort to the back. Bounce
         # 0 keeps the caller's 16x16-block order (identity keys).
+        # 6-bit direction bin (8x8 octahedral grid): tighter per-tile
+        # direction bounds than coarse octants -> leaner cull lists
+        ad = jnp.abs(ray_d)
+        denom = jnp.maximum(ad[:, 0] + ad[:, 1] + ad[:, 2], 1e-20)
+        ox_ = ray_d[:, 0] / denom
+        oy_ = ray_d[:, 1] / denom
+        # fold lower hemisphere (signed octahedral)
+        fold = ray_d[:, 2] < 0.0
+        ox2 = jnp.where(fold, (1.0 - jnp.abs(oy_)) * jnp.sign(ox_), ox_)
+        oy2 = jnp.where(fold, (1.0 - jnp.abs(ox_)) * jnp.sign(oy_), oy_)
+        bx = jnp.clip(((ox2 * 0.5 + 0.5) * 8).astype(jnp.int32), 0, 7)
+        by = jnp.clip(((oy2 * 0.5 + 0.5) * 8).astype(jnp.int32), 0, 7)
         octant = (
-            (ray_d[:, 0] > 0).astype(jnp.int32)
-            + 2 * (ray_d[:, 1] > 0).astype(jnp.int32)
-            + 4 * (ray_d[:, 2] > 0).astype(jnp.int32)
-        )
+            (bx * 8 + by) * 2 + fold.astype(jnp.int32)
+        )  # 128 direction bins
         key = jnp.where(
-            active, origin_cluster * 8 + octant, 8 * n_clusters + 1
+            active, origin_cluster * 128 + octant, 128 * n_clusters + 1
         )
         key = jnp.where(
             bounce > 0, key, jnp.arange(key.shape[0], dtype=jnp.int32)
@@ -145,9 +162,41 @@ def pt_trace_pixels(
             .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
         )
 
-        hit = trace_closest_fn(
-            ray_o[perm], ray_d[perm], 0.0, ray_tmax[perm]
-        )
+        o_p, d_p, tmax_p = ray_o[perm], ray_d[perm], ray_tmax[perm]
+        hit = trace_closest_fn(o_p, d_p, 0.0, tmax_p)
+        if alpha_rounds and use_full_kernel:
+            from ..ops.texture import sample_alpha_packed
+
+            # fixed per-ray uniform: pcg(state.x ^ state.z) (no advance),
+            # the payload.randomSeed convention
+            seed = prng.pcg(state[..., 0] ^ state[..., 2])[perm]
+            au = prng.rng_to01(seed)
+            t_off = jnp.zeros_like(hit["t"])
+            o_cur = o_p
+            tmax_cur = tmax_p
+            for _ in range(alpha_rounds):
+                a = sample_alpha_packed(arena, hit["material"], hit["uv"])
+                ignore = (hit["tri"] >= 0) & (
+                    (a == 0.0) | ((a > 0.0) & (au > a))
+                )
+                adv = jnp.where(ignore, hit["t"] * (1.0 + 1e-4) + 1e-5, 0.0)
+                o_cur = o_cur + d_p * adv[..., None]
+                tmax_cur = jnp.where(
+                    ignore, jnp.maximum(tmax_cur - adv, 0.0), 0.0
+                )
+                t_off = t_off + adv
+                hit2 = trace_closest_fn(o_cur, d_p, 0.0, tmax_cur)
+                hit = {
+                    k: jnp.where(
+                        ignore.reshape(
+                            ignore.shape + (1,) * (hit[k].ndim - 1)
+                        ),
+                        hit2[k],
+                        hit[k],
+                    )
+                    for k in hit
+                }
+            hit["t"] = hit["t"] + t_off
         hit = {k: v[inv_perm] for k, v in hit.items()}
         hit_valid = (hit["tri"] >= 0) & active
         # IBL skybox on miss (main.rgen:246-254)
@@ -315,6 +364,7 @@ def pt_trace_pixels(
         "use_dof",
         "clamp_indirect",
         "return_stats",
+        "alpha_rounds",
     ),
 )
 def pt_render_sample(
@@ -330,6 +380,7 @@ def pt_render_sample(
     clamp_indirect: bool = False,
     return_stats: bool = False,
     env: jnp.ndarray | None = None,
+    alpha_rounds: int = 0,
 ):
     """One full-frame 1-spp sample pass -> (H*W, 3) linear color in
     row-major pixel order (+ ray count when return_stats).
@@ -352,6 +403,7 @@ def pt_render_sample(
         use_dof,
         clamp_indirect,
         env,
+        alpha_rounds,
     )
     color = color[jnp.asarray(inv_np)]
     if return_stats:
@@ -382,12 +434,13 @@ def pt_entry(
     state=None,
     accumulate=True,
     env=None,
+    alpha_rounds=0,
     **_,
 ):
     """CLI-facing PT mode: renders one sample, accumulates, tonemaps."""
     sample = pt_render_sample(
         static, frame, arena, cam, width, height, frame_index, max_bounces,
-        env=env,
+        env=env, alpha_rounds=alpha_rounds,
     ).reshape(height, width, 3)
     if state is None or not accumulate:
         color, count = sample, jnp.ones((height, width), jnp.float32)

@@ -1,0 +1,81 @@
+"""Golden-image regression tests (BASELINE config 1 harness shape).
+
+The Vulkan-reference goldens need the driver's lavapipe renders; until
+those exist the forward 256^2 FlightHelmet frame is pinned against a
+SELF-golden committed to the repo — any change to loader, traversal,
+shading, or tonemap that shifts the image past tolerance fails here.
+Regenerate with: python -m tests.test_goldens regen
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+SCENE = "/root/reference/res/glTF/FlightHelmet/glTF/FlightHelmet.gltf"
+RES = 128  # small enough to commit, big enough to catch shifts
+
+
+def _render():
+    from prosper_tpu.ops.texture import pack_material_tables
+    from prosper_tpu.ops.tonemap import load_tony_mc_mapface
+    from prosper_tpu.render.forward import render_forward
+    from prosper_tpu.scene.textures import build_texture_arena
+    from prosper_tpu.scene.world import World
+
+    world = World(SCENE, use_cache=False)
+    arena = build_texture_arena(world.doc, max_dim=512)
+    static = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in world.static_scene_arrays().items()
+    }
+    arena_dev = {k: jnp.asarray(v) for k, v in arena.uniforms().items()}
+    arena_dev["mat_f32"], arena_dev["mat_i32"] = pack_material_tables(
+        world.static_scene_arrays()["materials"], arena_dev
+    )
+    frame = world.frame_arrays(0.0)
+    fd = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in frame.items()
+        if k not in ("scene_camera", "bvh_depth")
+    }
+    cam = {
+        k: jnp.asarray(v)
+        for k, v in world.make_camera((RES, RES)).uniforms().items()
+    }
+    lut = jnp.asarray(load_tony_mc_mapface())
+    img = render_forward(static, fd, arena_dev, cam, lut, RES, RES)
+    return np.asarray(img)
+
+
+def test_forward_flighthelmet_golden():
+    golden_path = os.path.join(GOLDEN_DIR, f"forward_helmet_{RES}.npy")
+    img = _render()
+    if not os.path.exists(golden_path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(golden_path, img)
+        raise AssertionError(
+            f"golden created at {golden_path}; rerun to validate"
+        )
+    golden = np.load(golden_path)
+    rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
+    # display-encoded, deterministic pipeline: tiny float drift only
+    assert rmse < 1e-3, f"RMSE vs golden {rmse}"
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(os.path.join(GOLDEN_DIR, f"forward_helmet_{RES}.npy"), _render())
+        print("golden regenerated")
