@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TextureDebug analog: also dump the raw HDR frame")
     r.add_argument("--out", default="out/frame.png")
     r.add_argument("--max-texture-dim", type=int, default=2048)
+    r.add_argument("--orbit-camera", action="store_true",
+                   help="orbit the camera around the scene per frame")
+    r.add_argument("--scatter-lights", type=int, default=0, metavar="N",
+                   help="scatter N random point emitters (many-light/ReSTIR testing)")
     r.add_argument("--streaming", action="store_true",
                    help="async asset streaming (deferred loading)")
     r.add_argument("--no-cache", action="store_true", help="bypass asset caches")
@@ -157,10 +161,48 @@ def main(argv: list[str] | None = None) -> int:
 
     profiler = Profiler(sync_device=args.profile)
 
+    if args.scatter_lights > 0:
+        # many-light testing: scatter emitters in the scene bounds (the
+        # reference's commented-out light scattering, WorldData.cpp:213)
+        rng = np.random.default_rng(0)
+        n = min(args.scatter_lights, 1024)
+        lo = world.wc_aabb_min_obj.min(axis=0)
+        hi = world.wc_aabb_max_obj.max(axis=0)
+        world.lights.point_position[:n] = rng.uniform(lo, hi, (n, 3))
+        world.lights.point_radiance[:n] = rng.uniform(0.05, 0.5, (n, 3))
+        world.lights.point_radius[:n] = float(np.linalg.norm(hi - lo))
+        world.lights.point_count = n
+        log_info("scattered %d point lights", n)
+
+    import numpy as _np
+
+    base_eye = _np.array(cam_obj.transform.eye, _np.float32)
+    base_target = _np.array(cam_obj.transform.target, _np.float32)
+
     state = None
     img = None
     for f in range(args.frames):
         profiler.start_frame()
+        if args.orbit_camera and f > 0:
+            from ..scene.camera import CameraTransform
+
+            ang = 2.0 * _np.pi * f / max(args.frames, 1)
+            rel = base_eye - base_target
+            rot = _np.array(
+                [
+                    [_np.cos(ang), 0, _np.sin(ang)],
+                    [0, 1, 0],
+                    [-_np.sin(ang), 0, _np.cos(ang)],
+                ],
+                _np.float32,
+            )
+            cam_obj.look_at(
+                CameraTransform(
+                    eye=base_target + rot @ rel,
+                    target=base_target,
+                    up=_np.array([0, 1, 0], _np.float32),
+                )
+            )
         if args.streaming:
             if f == 0:
                 world.start_streaming()

@@ -1,0 +1,56 @@
+"""Multi-device pixel-band sharding on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from prosper_tpu.render.distributed import (
+    make_mesh,
+    pt_render_sharded,
+    replicate_to_mesh,
+)
+from prosper_tpu.render.pt import pt_render_sample
+from prosper_tpu.testing import make_test_scene
+
+
+def _dev(tree):
+    return {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in tree.items()
+    }
+
+
+def test_sharded_matches_single_device():
+    assert len(jax.devices()) >= 8
+    static, frame, arena, cam_fn = make_test_scene(4)
+    static, frame, arena = _dev(static), _dev(frame), _dev(arena)
+    W, H = 64, 32
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(W, H).items()}
+
+    single = pt_render_sample(
+        static, frame, arena, cam, W, H, 0, max_bounces=2
+    )
+
+    mesh = make_mesh(8)
+    color, total_rays = pt_render_sharded(
+        mesh,
+        replicate_to_mesh(static, mesh),
+        replicate_to_mesh(frame, mesh),
+        replicate_to_mesh(arena, mesh),
+        replicate_to_mesh(cam, mesh),
+        W,
+        H,
+        0,
+        max_bounces=2,
+    )
+    assert int(total_rays) > 0
+    # sharded path traces pixels in row-major band order; single-device
+    # traces in block order but returns row-major: same pixels, same RNG
+    # streams (pcg state is (px, py, frame)) -> identical radiance
+    np.testing.assert_allclose(
+        np.asarray(color), np.asarray(single), rtol=1e-5, atol=1e-6
+    )
