@@ -222,9 +222,12 @@ def _prep(ray_o, ray_d, t_max, wc_min, wc_max, max_clusters):
         [t_max_full, jnp.zeros((R - R_out,), jnp.float32)]
     ).reshape(n_tiles, TILE)
 
-    lists, counts = _cull_lists(
-        o_t, d_t, t_max_t.max(axis=1), wc_min, wc_max, maxc
-    )
+    tile_tmax = t_max_t.max(axis=1)
+    lists, counts = _cull_lists(o_t, d_t, tile_tmax, wc_min, wc_max, maxc)
+    # tiles whose every lane is disabled (t_max ~ 0) can skip entirely —
+    # clusters containing the (finite) origins would otherwise pass the
+    # conservative slab test
+    counts = jnp.where(tile_tmax > 1e-3, counts, 0)
     if lists.shape[1] < maxc:
         lists = jnp.pad(lists, ((0, 0), (0, maxc - lists.shape[1])))
     return maxc, R, R_out, n_tiles, o_t, d_t, t_max_t, lists, counts
@@ -345,10 +348,7 @@ def _any_kernel(
         occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
         return (k + 1, occ)
 
-    # lanes disabled via t_max <= t_min can never be hit; seeding them as
-    # 'done' lets the all-done early exit fire on mostly-dead tiles
-    # (callers mask disabled lanes, so reporting them occluded is benign)
-    init = (jnp.int32(0), (tmax <= t_min).astype(jnp.int32))
+    init = (jnp.int32(0), jnp.zeros((TILE, 1), jnp.int32))
     _, occ = jax.lax.while_loop(cond, body, init)
     occ_out[0] = occ
 
