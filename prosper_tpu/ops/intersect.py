@@ -52,6 +52,43 @@ def ray_aabb(o, inv_d, bmin, bmax, t_min, t_max):
     return enter <= exit_
 
 
+def packet_aabb_enter_exit(o_lo, o_hi, d_lo, d_hi, bmin, bmax):
+    """Conservative interval-arithmetic slab ENTRY/EXIT distances of a ray
+    packet vs AABBs; axes with sign-mixed directions are non-restricting.
+    Returns (enter, exit)."""
+    pos = d_lo > 0.0
+    neg = d_hi < 0.0
+    uniform = pos | neg
+    inv_a = jnp.where(uniform, 1.0 / jnp.where(uniform, d_hi, 1.0), 0.0)
+    inv_b = jnp.where(uniform, 1.0 / jnp.where(uniform, d_lo, 1.0), 0.0)
+
+    lo0 = bmin - o_hi
+    hi0 = bmin - o_lo
+    lo1 = bmax - o_hi
+    hi1 = bmax - o_lo
+
+    def imul_min(alo, ahi, ba, bb):
+        return jnp.minimum(
+            jnp.minimum(alo * ba, alo * bb), jnp.minimum(ahi * ba, ahi * bb)
+        )
+
+    def imul_max(alo, ahi, ba, bb):
+        return jnp.maximum(
+            jnp.maximum(alo * ba, alo * bb), jnp.maximum(ahi * ba, ahi * bb)
+        )
+
+    t_enter_ax = jnp.minimum(
+        imul_min(lo0, hi0, inv_a, inv_b), imul_min(lo1, hi1, inv_a, inv_b)
+    )
+    t_exit_ax = jnp.maximum(
+        imul_max(lo0, hi0, inv_a, inv_b), imul_max(lo1, hi1, inv_a, inv_b)
+    )
+    big = jnp.float32(3e38)
+    t_enter_ax = jnp.where(uniform, t_enter_ax, -big)
+    t_exit_ax = jnp.where(uniform, t_exit_ax, big)
+    return jnp.max(t_enter_ax, axis=-1), jnp.min(t_exit_ax, axis=-1)
+
+
 def packet_aabb_overlap(
     o_lo, o_hi, d_lo, d_hi, bmin, bmax, t_max
 ):

@@ -47,22 +47,30 @@ def pack_tris(tris: dict) -> jnp.ndarray:
 
 
 def _cull_lists(o_t, d_t, t_max_tile, wc_min, wc_max, max_clusters):
-    """Phase 1 (XLA): conservative packet cull -> per-tile lists."""
+    """Phase 1 (XLA): conservative packet cull -> per-tile lists ordered
+    front-to-back by conservative entry distance, so the kernels can stop
+    as soon as every remaining cluster starts beyond the packet's worst
+    confirmed hit."""
+    from .intersect import packet_aabb_enter_exit
+
     o_lo, o_hi = o_t.min(axis=1), o_t.max(axis=1)
     d_lo, d_hi = d_t.min(axis=1), d_t.max(axis=1)
-    overlap = packet_aabb_overlap(
+    enter, exit_ = packet_aabb_enter_exit(
         o_lo[:, None, :],
         o_hi[:, None, :],
         d_lo[:, None, :],
         d_hi[:, None, :],
         wc_min[None, :, :],
         wc_max[None, :, :],
-        t_max_tile[:, None],
     )
+    overlap = (enter <= exit_) & (exit_ >= 0.0) & (enter <= t_max_tile[:, None])
     counts = jnp.minimum(overlap.sum(axis=1).astype(jnp.int32), max_clusters)
-    order = jnp.argsort(~overlap, axis=1, stable=True)
+    big = jnp.float32(3e38)
+    key = jnp.where(overlap, jnp.maximum(enter, 0.0), big)
+    order = jnp.argsort(key, axis=1, stable=True)
     lists = order[:, :max_clusters].astype(jnp.int32)
-    return lists, counts
+    enters = jnp.take_along_axis(key, order[:, :max_clusters], axis=1)
+    return lists, counts, enters
 
 
 def _moller_block(slab, ox, oy, oz, dx, dy, dz, t_min, t_upper):
@@ -110,6 +118,7 @@ def _moller_block(slab, ox, oy, oz, dx, dy, dz, t_min, t_upper):
 def _closest_kernel(
     counts_ref,  # scalar-prefetch SMEM (T,)
     lists_ref,  # VMEM (1, 1, MAXC) i32
+    enters_ref,  # VMEM (1, 1, MAXC) f32 - front-to-back entry distances
     o_ref,  # VMEM (1, TILE, 3)
     d_ref,  # VMEM (1, TILE, 3)
     tmax_ref,  # VMEM (1, TILE, 1)
@@ -120,12 +129,15 @@ def _closest_kernel(
     v_out,
     tri_slab,  # VMEM scratch (2, 9, 128)
     list_smem,  # SMEM scratch (1, MAXC)
-    sems,  # DMA sems (3,)
+    enter_smem,  # SMEM scratch (1, MAXC) f32
+    sems,  # DMA sems (4,)
 ):
     count = counts_ref[pl.program_id(0)]
 
     lcopy = pltpu.make_async_copy(lists_ref.at[0], list_smem, sems.at[2])
     lcopy.start()
+    ecopy = pltpu.make_async_copy(enters_ref.at[0], enter_smem, sems.at[3])
+    ecopy.start()
 
     ox = o_ref[0, :, 0:1]  # (TILE, 1)
     oy = o_ref[0, :, 1:2]
@@ -136,6 +148,7 @@ def _closest_kernel(
     t_min = 1e-4
 
     lcopy.wait()
+    ecopy.wait()
 
     def get_dma(slot, k):
         c = list_smem[0, k]
@@ -149,8 +162,14 @@ def _closest_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
 
-    def body(k, state):
-        best_t, best_tri, best_u, best_v = state
+    def cond(state):
+        # front-to-back early exit: stop when every remaining cluster
+        # begins beyond the packet's worst confirmed hit
+        k, _, _, _, _, worst = state
+        return (k < count) & (enter_smem[0, k] < worst)
+
+    def body(state):
+        k, best_t, best_tri, best_u, best_v, worst = state
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < count)
@@ -174,15 +193,26 @@ def _closest_kernel(
         best_u = jnp.where(improved, u_sel, best_u)
         best_v = jnp.where(improved, v_sel, best_v)
         best_t = jnp.where(improved, tmin, best_t)
-        return (best_t, best_tri, best_u, best_v)
+        worst = jnp.max(best_t)
+        return (k + 1, best_t, best_tri, best_u, best_v, worst)
 
     init = (
+        jnp.int32(0),
         tmax_ref[0],  # (TILE, 1)
         jnp.full((TILE, 1), -1, jnp.int32),
         jnp.zeros((TILE, 1), jnp.float32),
         jnp.zeros((TILE, 1), jnp.float32),
+        jnp.max(tmax_ref[0]),
     )
-    best_t, best_tri, best_u, best_v = jax.lax.fori_loop(0, count, body, init)
+    k_final, best_t, best_tri, best_u, best_v, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    # drain: an early exit leaves the prefetched DMA for k_final in
+    # flight; an unconsumed DMA semaphore aborts the program
+    @pl.when((k_final > 0) & (k_final < count))
+    def _():
+        get_dma(jax.lax.rem(k_final, 2), k_final).wait()
 
     t_out[0] = best_t
     tri_out[0] = best_tri
@@ -192,6 +222,7 @@ def _closest_kernel(
 
 def _ray_blocks(maxc):
     return [
+        pl.BlockSpec((1, 1, maxc), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, maxc), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TILE, 3), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TILE, 3), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -223,14 +254,18 @@ def _prep(ray_o, ray_d, t_max, wc_min, wc_max, max_clusters):
     ).reshape(n_tiles, TILE)
 
     tile_tmax = t_max_t.max(axis=1)
-    lists, counts = _cull_lists(o_t, d_t, tile_tmax, wc_min, wc_max, maxc)
+    lists, counts, enters = _cull_lists(
+        o_t, d_t, tile_tmax, wc_min, wc_max, maxc
+    )
     # tiles whose every lane is disabled (t_max ~ 0) can skip entirely —
     # clusters containing the (finite) origins would otherwise pass the
     # conservative slab test
     counts = jnp.where(tile_tmax > 1e-3, counts, 0)
     if lists.shape[1] < maxc:
-        lists = jnp.pad(lists, ((0, 0), (0, maxc - lists.shape[1])))
-    return maxc, R, R_out, n_tiles, o_t, d_t, t_max_t, lists, counts
+        pad = maxc - lists.shape[1]
+        lists = jnp.pad(lists, ((0, 0), (0, pad)))
+        enters = jnp.pad(enters, ((0, 0), (0, pad)), constant_values=3e38)
+    return maxc, R, R_out, n_tiles, o_t, d_t, t_max_t, lists, counts, enters
 
 
 @partial(jax.jit, static_argnames=("max_clusters",))
@@ -250,7 +285,7 @@ def trace_closest_pallas(
     Wächter-Binder origin offset making the difference immaterial).
     """
     del t_min
-    maxc, R, R_out, n_tiles, o_t, d_t, t_max_t, lists, counts = _prep(
+    maxc, R, R_out, n_tiles, o_t, d_t, t_max_t, lists, counts, enters = _prep(
         ray_o, ray_d, t_max, wc_min, wc_max, max_clusters
     )
 
@@ -262,7 +297,8 @@ def trace_closest_pallas(
         scratch_shapes=[
             pltpu.VMEM((2, 9, 128), jnp.float32),
             pltpu.SMEM((1, maxc), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((1, maxc), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
@@ -278,6 +314,7 @@ def trace_closest_pallas(
     )(
         counts,
         lists[:, None, :],
+        enters[:, None, :],
         o_t,
         d_t,
         t_max_t[:, :, None],
@@ -295,6 +332,7 @@ def trace_closest_pallas(
 def _any_kernel(
     counts_ref,
     lists_ref,
+    enters_ref,  # unused: any-hit exits on first hit, order is free
     o_ref,
     d_ref,
     tmax_ref,
@@ -304,6 +342,7 @@ def _any_kernel(
     list_smem,
     sems,
 ):
+    del enters_ref
     count = counts_ref[pl.program_id(0)]
     lcopy = pltpu.make_async_copy(lists_ref.at[0], list_smem, sems.at[2])
     lcopy.start()
@@ -365,7 +404,7 @@ def trace_any_pallas(
     max_clusters: int | None = None,
 ):
     del t_min
-    maxc, R, R_out, n_tiles, o_t, d_t, t_max_t, lists, counts = _prep(
+    maxc, R, R_out, n_tiles, o_t, d_t, t_max_t, lists, counts, enters = _prep(
         ray_o, ray_d, t_max, wc_min, wc_max, max_clusters
     )
 
@@ -388,6 +427,7 @@ def trace_any_pallas(
     )(
         counts,
         lists[:, None, :],
+        enters[:, None, :],
         o_t,
         d_t,
         t_max_t[:, :, None],

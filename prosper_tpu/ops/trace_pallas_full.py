@@ -96,6 +96,7 @@ def pack_tris_full(static_scene: dict, frame: dict) -> jnp.ndarray:
 def _kernel(
     counts_ref,  # scalar-prefetch SMEM (T,)
     lists_ref,  # VMEM (1, 1, MAXC)
+    enters_ref,  # VMEM (1, 1, MAXC) f32 front-to-back entry distances
     o_ref,  # VMEM (1, TILE, 3)
     d_ref,  # VMEM (1, TILE, 3)
     tmax_ref,  # VMEM (1, TILE, 1)
@@ -105,12 +106,15 @@ def _kernel(
     attr_out,  # (1, TILE, 12): n3 | t4 | uv2 | mat | pad2
     tri_slab,  # VMEM scratch (2, 40, 128)
     list_smem,  # SMEM scratch (1, MAXC)
+    enter_smem,  # SMEM scratch (1, MAXC) f32
     attr_scr,  # VMEM scratch (TILE, 12) - best attributes
     sems,
 ):
     count = counts_ref[pl.program_id(0)]
     lcopy = pltpu.make_async_copy(lists_ref.at[0], list_smem, sems.at[2])
     lcopy.start()
+    ecopy = pltpu.make_async_copy(enters_ref.at[0], enter_smem, sems.at[3])
+    ecopy.start()
 
     ox = o_ref[0, :, 0:1]
     oy = o_ref[0, :, 1:2]
@@ -121,6 +125,7 @@ def _kernel(
     t_min = 1e-4
 
     lcopy.wait()
+    ecopy.wait()
 
     def get_dma(slot, k):
         c = list_smem[0, k]
@@ -135,8 +140,13 @@ def _kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
     attr_scr[...] = jnp.zeros((TILE, 12), jnp.float32)
 
-    def body(k, state):
-        best_t, best_tri = state
+    def cond(state):
+        # front-to-back early exit (see trace_pallas._closest_kernel)
+        k, _, _, worst = state
+        return (k < count) & (enter_smem[0, k] < worst)
+
+    def body(state):
+        k, best_t, best_tri, worst = state
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < count)
@@ -188,13 +198,22 @@ def _kernel(
         c = list_smem[0, k]
         best_tri = jnp.where(improved, c * CLUSTER_PAD + j, best_tri)
         best_t = jnp.where(improved, tmin, best_t)
-        return (best_t, best_tri)
+        worst = jnp.max(best_t)
+        return (k + 1, best_t, best_tri, worst)
 
     init = (
+        jnp.int32(0),
         tmax_ref[0],
         jnp.full((TILE, 1), -1, jnp.int32),
+        jnp.max(tmax_ref[0]),
     )
-    best_t, best_tri = jax.lax.fori_loop(0, count, body, init)
+    k_final, best_t, best_tri, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain: an early exit leaves the prefetched DMA for k_final in
+    # flight; an unconsumed DMA semaphore aborts the program
+    @pl.when((k_final > 0) & (k_final < count))
+    def _():
+        get_dma(jax.lax.rem(k_final, 2), k_final).wait()
 
     t_out[0] = best_t
     tri_out[0] = best_tri
@@ -218,31 +237,19 @@ def trace_closest_full(
     material (R,) i32.
     """
     del t_min
-    n_clusters = wc_min.shape[0]
-    maxc = max_clusters or n_clusters
-    maxc = -(-maxc // 128) * 128
-    maxc = min(maxc, -(-n_clusters // 128) * 128)
+    from .trace_pallas import _prep
 
-    t_max_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
-    ray_o, ray_d, R_out = _pad_rays(ray_o, ray_d)
-    R = ray_o.shape[0]
-    n_tiles = R // TILE
-    o_t = ray_o.reshape(n_tiles, TILE, 3)
-    d_t = ray_d.reshape(n_tiles, TILE, 3)
-    t_max_t = jnp.concatenate(
-        [t_max_full, jnp.zeros((R - R_out,), jnp.float32)]
-    ).reshape(n_tiles, TILE)
-
-    lists, counts = _cull_lists(
-        o_t, d_t, t_max_t.max(axis=1), wc_min, wc_max, maxc
+    maxc, R, R_out, n_tiles, o_t, d_t, t_max_t, lists, counts, enters = _prep(
+        ray_o, ray_d, t_max, wc_min, wc_max, max_clusters
     )
-    if lists.shape[1] < maxc:
-        lists = jnp.pad(lists, ((0, 0), (0, maxc - lists.shape[1])))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1, maxc), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, 1, maxc), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -265,8 +272,9 @@ def trace_closest_full(
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, 128), jnp.float32),
             pltpu.SMEM((1, maxc), jnp.int32),
+            pltpu.SMEM((1, maxc), jnp.float32),
             pltpu.VMEM((TILE, 12), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
@@ -281,6 +289,7 @@ def trace_closest_full(
     )(
         counts,
         lists[:, None, :],
+        enters[:, None, :],
         o_t,
         d_t,
         t_max_t[:, :, None],
