@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .trace import CLUSTER_PAD, TILE, _pad_rays
-from .trace_pallas import _cull_lists, _moller_block
+from .trace_pallas import _moller_block
 
 ROWS = 40
 
