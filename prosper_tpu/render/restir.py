@@ -121,34 +121,41 @@ def spatial_reuse(
     neighbor_normals = signed_oct_decode(nm[..., :3])
     neighbor_lin_depth = gbuf["linear_depth"]
 
+    def try_body(_k, carry):
+        state, found, samp_flat = carry
+        trying = ~found
+        state_n, u2 = prng.rnd2d01(state)
+        state = jnp.where(trying[..., None], state_n, state)
+        r = (
+            _uniform_sample_disk(u2) * SPATIAL_RADIUS * 2.0 - SPATIAL_RADIUS
+        ).astype(jnp.int32)
+        p_x = px.astype(jnp.int32) + r[..., 0]
+        p_y = py.astype(jnp.int32) + r[..., 1]
+        # `any(lessThanEqual(p, 0)) || any(greaterThanEqual(p, res))`
+        in_bounds = (p_x > 0) & (p_y > 0) & (p_x < width) & (p_y < height)
+        p_flat = jnp.clip(p_y, 0, height - 1) * width + jnp.clip(
+            p_x, 0, width - 1
+        )
+        nd = neighbor_lin_depth[p_flat]
+        depth_ok = (
+            jnp.abs(1.0 - nd / jnp.where(lin_depth != 0, lin_depth, 1.0))
+            <= 0.1
+        )
+        nrm_ok = _dot(neighbor_normals[p_flat], normal) >= 0.9
+        ok = trying & in_bounds & depth_ok & nrm_ok
+        samp_flat = jnp.where(ok, p_flat, samp_flat)
+        found = found | ok
+        return (state, found, samp_flat)
+
     samples_li = []
     samples_ucw = []
     for _i in range(SPATIAL_SAMPLES):
-        found = jnp.zeros((R,), bool)
-        samp_flat = jnp.zeros((R,), jnp.int32)
-        for _k in range(MAX_TRIES):
-            trying = ~found
-            state_n, u2 = prng.rnd2d01(state)
-            state = jnp.where(trying[..., None], state_n, state)
-            r = (
-                _uniform_sample_disk(u2) * SPATIAL_RADIUS * 2.0 - SPATIAL_RADIUS
-            ).astype(jnp.int32)
-            p_x = px.astype(jnp.int32) + r[..., 0]
-            p_y = py.astype(jnp.int32) + r[..., 1]
-            # `any(lessThanEqual(p, 0)) || any(greaterThanEqual(p, res))`
-            in_bounds = (p_x > 0) & (p_y > 0) & (p_x < width) & (p_y < height)
-            p_flat = jnp.clip(p_y, 0, height - 1) * width + jnp.clip(
-                p_x, 0, width - 1
-            )
-            nd = neighbor_lin_depth[p_flat]
-            depth_ok = (
-                jnp.abs(1.0 - nd / jnp.where(lin_depth != 0, lin_depth, 1.0))
-                <= 0.1
-            )
-            nrm_ok = _dot(neighbor_normals[p_flat], normal) >= 0.9
-            ok = trying & in_bounds & depth_ok & nrm_ok
-            samp_flat = jnp.where(ok, p_flat, samp_flat)
-            found = found | ok
+        state, found, samp_flat = jax.lax.fori_loop(
+            0,
+            MAX_TRIES,
+            try_body,
+            (state, jnp.zeros((R,), bool), jnp.zeros((R,), jnp.int32)),
+        )
         samples_li.append(jnp.where(found, res_light[samp_flat], -1))
         samples_ucw.append(jnp.where(found, res_ucw[samp_flat], 0.0))
 
