@@ -174,10 +174,17 @@ def eval_clustered_lights(
         )
 
     max_count = jnp.max(pcounts)
+    use_packed = "packed_rows" in lights
 
     def point_body(k, acc):
         idx = plists[:, k]
-        l, _, irr = point_light_irradiance(lights, idx, pos)
+        if use_packed:
+            # packed rows: sun at 0, counted points at 1.. (one gather)
+            from ..render.shading import sample_light_packed
+
+            l, _, irr = sample_light_packed(lights["packed_rows"], idx + 1, pos)
+        else:
+            l, _, irr = point_light_irradiance(lights, idx, pos)
         contrib = irr * brdf_l(l)
         return acc + jnp.where((k < pcounts)[..., None], contrib, 0.0)
 
@@ -186,10 +193,21 @@ def eval_clustered_lights(
     )
 
     # spots: all visible (reference quirk), plain loop over count
+    pc = lights["point_count"]
+
     def spot_body(k, acc):
-        l, _, irr = spot_light_irradiance(
-            lights, jnp.full(pos.shape[:-1], k, jnp.int32), pos
-        )
+        if use_packed:
+            from ..render.shading import sample_light_packed
+
+            l, _, irr = sample_light_packed(
+                lights["packed_rows"],
+                jnp.full(pos.shape[:-1], 0, jnp.int32) + (1 + pc + k),
+                pos,
+            )
+        else:
+            l, _, irr = spot_light_irradiance(
+                lights, jnp.full(pos.shape[:-1], k, jnp.int32), pos
+            )
         contrib = irr * brdf_l(l)
         return acc + contrib
 

@@ -57,6 +57,14 @@ def _surface_grid(cam, width, height, lights, n_lights, seed=0):
     lights["point_radiance"][:n_lights] = rng.uniform(1, 10, (n_lights, 3))
     lights["point_radius"][:n_lights] = rng.uniform(2.0, 8.0, n_lights)
     lights["point_count"] = np.int32(n_lights)
+    # packed_rows must be rebuilt after mutating the SoA (light_uniforms
+    # does this for the normal frame path)
+    from prosper_tpu.render.shading import pack_light_table
+    import jax.numpy as jnp_
+
+    lights["packed_rows"] = np.asarray(
+        pack_light_table({k: jnp_.asarray(v) for k, v in lights.items() if k != "packed_rows"})
+    )
     return surface, lights
 
 
