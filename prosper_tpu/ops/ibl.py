@@ -176,31 +176,41 @@ def sample_irradiance(env: jnp.ndarray, out_res: int = IRRADIANCE_RES):
     return jnp.pi * acc / (phi_steps * theta_steps)
 
 
-@partial(jax.jit, static_argnames=("res", "n_mips", "n_samples"))
+@partial(jax.jit, static_argnames=("alpha", "n_samples"))
+def _prefilter_mip(env: jnp.ndarray, n: jnp.ndarray, alpha: float, n_samples: int):
+    def body(i, cw):
+        xi = hammersley(jnp.full((), i, jnp.uint32), n_samples)
+        h = importance_sample_ibl_trowbridge_reitz(xi, jnp.full(n.shape[:-1], alpha), n)
+        l = 2.0 * jnp.sum(n * h, -1, keepdims=True) * h - n
+        nol = saturate(jnp.sum(n * l, -1))
+        s = jnp.minimum(sample_cubemap(env, l), 10.0)
+        return (
+            cw[0] + s * nol[..., None],
+            cw[1] + nol,
+        )
+
+    color, weight = jax.lax.fori_loop(
+        0, n_samples, body, (jnp.zeros_like(n), jnp.zeros(n.shape[:-1]))
+    )
+    return color / jnp.maximum(weight[..., None], 1e-4)
+
+
 def prefilter_radiance(env: jnp.ndarray, res: int = 128, n_mips: int = 8, n_samples: int = 256):
-    """List of (6, res>>m, res>>m, 3) GGX-prefiltered mips (Karis)."""
+    """List of (6, res>>m, res>>m, 3) GGX-prefiltered mips (Karis).
+
+    One jit call per mip, with the face-direction grid passed as an
+    argument: compiling all mips into a single program miscompiles on
+    the TPU stack (mips 3-6 came back NaN on the -x/-y/±z faces; the
+    identical per-mip program is bit-clean). Prefiltering is a one-time
+    build step, so per-mip dispatch costs nothing.
+    """
     mips = []
     for m in range(n_mips):
         r = max(res >> m, 1)
         roughness = m / max(n_mips - 1, 1)
-        alpha = roughness * roughness
-        n = face_directions(r)
-
-        def body(i, cw, n=n, alpha=alpha):
-            xi = hammersley(jnp.full((), i, jnp.uint32), n_samples)
-            h = importance_sample_ibl_trowbridge_reitz(xi, jnp.full(n.shape[:-1], alpha), n)
-            l = 2.0 * jnp.sum(n * h, -1, keepdims=True) * h - n
-            nol = saturate(jnp.sum(n * l, -1))
-            s = jnp.minimum(sample_cubemap(env, l), 10.0)
-            return (
-                cw[0] + s * nol[..., None],
-                cw[1] + nol,
-            )
-
-        color, weight = jax.lax.fori_loop(
-            0, n_samples, body, (jnp.zeros_like(n), jnp.zeros(n.shape[:-1]))
+        mips.append(
+            _prefilter_mip(env, face_directions(r), roughness * roughness, n_samples)
         )
-        mips.append(color / jnp.maximum(weight[..., None], 1e-4))
     return mips
 
 

@@ -75,3 +75,20 @@ def test_eval_ibl_shapes_and_energy():
     assert out.shape == (R, 3)
     assert (out >= 0).all() and np.isfinite(out).all()
     assert out.mean() > 0.01  # sky contributes energy
+
+
+def test_prefilter_all_mips_finite():
+    """Every prefiltered mip must be finite on every face.
+
+    Regression: compiling all mips into one jit program miscompiled on
+    the TPU stack (NaN on the -x/-y/+-z faces of mips 3-6);
+    prefilter_radiance now dispatches one jit call per mip.
+    """
+    import numpy as np
+    from prosper_tpu.ops.ibl import prefilter_radiance, procedural_sky
+
+    mips = prefilter_radiance(procedural_sky(32), res=32, n_mips=6, n_samples=64)
+    assert len(mips) == 6
+    for m, mip in enumerate(mips):
+        a = np.asarray(mip)
+        assert np.isfinite(a).all(), f"mip {m} has non-finite texels"
