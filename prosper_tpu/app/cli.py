@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--max-bounces", type=int, default=3)
     r.add_argument("--taa", action="store_true", help="TAA resolve (deferred mode)")
     r.add_argument("--ibl", action="store_true", help="IBL + procedural sky env")
+    r.add_argument("--env-res", type=int, default=256,
+                   help="procedural sky cubemap face resolution")
     r.add_argument("--culling", action="store_true", help="two-phase meshlet culling (deferred)")
     r.add_argument("--bloom", action="store_true", help="bloom (deferred mode)")
     r.add_argument("--dof", action="store_true", help="depth of field (deferred mode)")
@@ -152,7 +154,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.ibl:
         from ..ops.ibl import build_ibl, procedural_sky
 
-        env = procedural_sky(256)
+        if args.env_res < 2:
+            print(f"error: --env-res must be >= 2, got {args.env_res}", file=sys.stderr)
+            return 2
+        env = procedural_sky(args.env_res)
         ibl_data = build_ibl(env)
         ibl_data["env"] = env
         log_info("IBL generated")

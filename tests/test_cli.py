@@ -51,3 +51,97 @@ def test_draw_type_index():
     assert cli._draw_type_index("default") == 0
     assert cli._draw_type_index("shading_normal") == 6
     assert cli._draw_type_index("metallic") == 10
+
+
+def _write_tiny_gltf(path):
+    """Minimal valid glTF: one quad (POSITION only, data-URI buffer) and
+    one KHR point light. Exercises the loader's attribute-derivation
+    fallbacks (smooth normals, generated tangents/uvs)."""
+    import base64
+    import json
+
+    import numpy as np
+
+    pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    idx = np.array([0, 1, 2, 2, 1, 3], np.uint16)
+    buf = pos.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0},
+            {
+                "extensions": {"KHR_lights_punctual": {"light": 0}},
+                "translation": [0.5, 0.5, 1.0],
+            },
+        ],
+        "extensions": {
+            "KHR_lights_punctual": {
+                "lights": [
+                    {"type": "point", "color": [1, 1, 1], "intensity": 50.0}
+                ]
+            }
+        },
+        "extensionsUsed": ["KHR_lights_punctual"],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": 4,
+                "type": "VEC3",
+                "min": [0, 0, 0],
+                "max": [1, 1, 0],
+            },
+            {"bufferView": 1, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos.tobytes())},
+            {
+                "buffer": 0,
+                "byteOffset": len(pos.tobytes()),
+                "byteLength": len(idx.tobytes()),
+            },
+        ],
+        "buffers": [
+            {
+                "byteLength": len(buf),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(buf).decode(),
+            }
+        ],
+    }
+    path.write_text(json.dumps(doc))
+
+
+def test_cli_end_to_end_deferred_ibl(tmp_path):
+    """Full main(): parse -> load glTF -> deferred+IBL render -> PNG."""
+    import numpy as np
+    from PIL import Image
+
+    from prosper_tpu.app.cli import main
+
+    scene = tmp_path / "tiny.gltf"
+    _write_tiny_gltf(scene)
+    out = tmp_path / "frame.png"
+    rc = main(
+        [
+            "render",
+            str(scene),
+            "--mode", "deferred",
+            "--ibl",
+            "--env-res", "16",
+            "--width", "64",
+            "--height", "64",
+            "--out", str(out),
+            "--no-cache",
+        ]
+    )
+    assert rc == 0
+    img = np.asarray(Image.open(out))
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img.astype(np.float32)).all()
+    assert img.std() > 0  # not a blank frame
