@@ -125,6 +125,26 @@ def build_bvh(
     )
 
 
+def pack_nodes(bvh: Bvh) -> tuple[np.ndarray, np.ndarray]:
+    """Kernel-facing node arrays for ops/trace_bvh.py.
+
+    Returns (bounds (N, 6) f32 [min.xyz | max.xyz],
+             meta (N, 3) i32 [left, right, leaf_cluster(-1 internal)]).
+    Requires max_leaf_size == 1 builds (one cluster per leaf).
+    """
+    assert bvh.nodes_count.max() <= 1, "pack_nodes requires max_leaf_size=1"
+    bounds = np.concatenate([bvh.nodes_min, bvh.nodes_max], axis=1).astype(
+        np.float32
+    )
+    cluster = np.where(
+        bvh.nodes_count > 0, bvh.order[bvh.nodes_first], -1
+    ).astype(np.int32)
+    meta = np.stack([bvh.nodes_left, bvh.nodes_right, cluster], axis=1).astype(
+        np.int32
+    )
+    return bounds, meta
+
+
 def transform_aabbs(
     aabb_min: np.ndarray, aabb_max: np.ndarray, m: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

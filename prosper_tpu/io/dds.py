@@ -71,7 +71,29 @@ def read_dds(path: str) -> DdsImage:
         if array_size != 1:
             raise NotImplementedError("DDS texture arrays not supported")
     else:
-        # Legacy RGBA8
+        # Legacy header: only accept an explicit 32-bit RGBA layout with
+        # the R8G8B8A8 channel masks; anything else (BC fourCCs, BGRA,
+        # 24-bit RGB, luminance) would decode to garbage.
+        pf_flags, bit_count, rmask, gmask, bmask, amask = struct.unpack(
+            "<I4xIIIII", data[80:108]
+        )
+        if pf_flags & 0x4:  # DDPF_FOURCC (non-DX10)
+            raise NotImplementedError(
+                f"legacy DDS fourCC {fourcc!r} not supported"
+            )
+        if not (
+            pf_flags & 0x40  # DDPF_RGB
+            and bit_count == 32
+            and rmask == 0x000000FF
+            and gmask == 0x0000FF00
+            and bmask == 0x00FF0000
+            and amask in (0xFF000000, 0)
+        ):
+            raise NotImplementedError(
+                "legacy DDS pixel format not R8G8B8A8 "
+                f"(flags=0x{pf_flags:x} bits={bit_count} masks="
+                f"{rmask:#x}/{gmask:#x}/{bmask:#x}/{amask:#x})"
+            )
         dxgi = DXGI_R8G8B8A8_UNORM
         dim = _RESOURCE_DIM_TEX3D if depth > 1 else _RESOURCE_DIM_TEX2D
 

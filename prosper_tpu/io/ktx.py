@@ -77,14 +77,29 @@ def read_ktx(path: str) -> KtxImage:
         (image_size,) = struct.unpack("<I", data[off : off + 4])
         off += 4
         face_arrays = []
+        itemsize = np.dtype(dtype).itemsize
+        row_bytes = mw * comps * itemsize
+        # GL UNPACK_ALIGNMENT=4: each row is padded to a 4-byte multiple
+        # (matters for RGB8 with width not divisible by 4)
+        padded_row = (row_bytes + 3) & ~3
         for _f in range(n_faces):
-            n = mw * mh * comps
-            arr = np.frombuffer(
-                data, dtype=dtype, count=n, offset=off
-            ).reshape(mh, mw, comps)
+            if padded_row == row_bytes:
+                n = mw * mh * comps
+                arr = np.frombuffer(
+                    data, dtype=dtype, count=n, offset=off
+                ).reshape(mh, mw, comps)
+            else:
+                raw = np.frombuffer(
+                    data, dtype=np.uint8, count=mh * padded_row, offset=off
+                ).reshape(mh, padded_row)
+                arr = (
+                    raw[:, :row_bytes]
+                    .copy()
+                    .view(dtype)
+                    .reshape(mh, mw, comps)
+                )
             face_arrays.append(arr)
-            face_size = n * np.dtype(dtype).itemsize
-            off += (face_size + 3) & ~3  # cube padding to 4 bytes
+            off += (mh * padded_row + 3) & ~3  # cube padding to 4 bytes
         del image_size
         mips.append(np.stack(face_arrays))
         mw, mh = max(mw // 2, 1), max(mh // 2, 1)

@@ -29,12 +29,15 @@ TILE = 256  # rays per packet: 2 VPU sublane-rows of 128 lanes
 CLUSTER_PAD = 128  # triangles per cluster slab (scene/meshlets.py)
 
 
-def make_tracer(tris: dict, wc_min, wc_max):
+def make_tracer(tris: dict, wc_min, wc_max, bvh=None):
     """Returns (closest_fn, any_fn) with signature (o, d, t_min, t_max).
 
-    On TPU backends the Pallas per-tile kernels are used (ops/trace_pallas);
-    on CPU the XLA reference path runs (the Pallas interpret mode is far
-    too slow for full frames).
+    On TPU backends the Pallas kernels are used: the in-kernel BVH
+    descent (ops/trace_bvh) when `bvh=(bounds, meta)` node arrays are
+    provided (the per-frame TLAS analog, scene/world.frame_arrays), else
+    the flat cull-list kernels (ops/trace_pallas). On CPU the XLA
+    reference path runs (Pallas interpret mode is far too slow for full
+    frames).
     """
     import jax
 
@@ -44,6 +47,14 @@ def make_tracer(tris: dict, wc_min, wc_max):
         from . import trace_pallas
 
         packed = trace_pallas.pack_tris(tris)
+        if bvh is not None:
+            from . import trace_bvh
+
+            bounds, meta = bvh
+            return (
+                _partial(trace_bvh.trace_closest_bvh, packed, bounds, meta),
+                _partial(trace_bvh.trace_any_bvh, packed, bounds, meta),
+            )
         return (
             _partial(trace_pallas.trace_closest_pallas, packed, wc_min, wc_max),
             _partial(trace_pallas.trace_any_pallas, packed, wc_min, wc_max),
@@ -52,6 +63,13 @@ def make_tracer(tris: dict, wc_min, wc_max):
         _partial(trace_closest, tris, wc_min, wc_max),
         _partial(trace_any, tris, wc_min, wc_max),
     )
+
+
+def frame_bvh(frame: dict):
+    """(bounds, meta) from a frame dict, or None when absent."""
+    if "bvh_bounds" in frame and "bvh_meta" in frame:
+        return frame["bvh_bounds"], frame["bvh_meta"]
+    return None
 
 
 def block_pixel_order(width: int, height: int, block: int = 16):

@@ -1,0 +1,532 @@
+"""Pallas TPU BVH-traversal ray kernels (round-2 rewrite of the flat
+per-tile cluster-list kernels in ops/trace_pallas*.py).
+
+Replaces the reference's hardware BLAS/TLAS traversal
+(/root/reference/src/render/RtReference.cpp:301-527) with an in-kernel
+packet descent over the per-frame cluster BVH built host-side
+(accel/bvh.py). Differences vs the round-1 kernels:
+
+- No XLA pre-pass: the O(tiles x clusters) conservative packet cull and
+  its argsort compaction are gone. Each ray tile walks the BVH2 inside
+  the kernel over SMEM node scalars (scalar-prefetch arrays), visiting
+  only the nodes its own rays overlap.
+- Per-ray termination: node tests compare each ray's PERSONAL best hit
+  distance against the node entry, so a handful of miss rays no longer
+  pin a packet-wide worst-t at infinity (the round-1 early-exit killer).
+- Ordered descent: children are intersected when their parent pops and
+  pushed far-first, so leaves arrive front-to-back and shadow rays
+  terminate near-first.
+- Leaf pipelining: while a leaf's 128-triangle slab is in flight
+  (HBM->VMEM DMA), the kernel descends to the next leaf; Moller-Trumbore
+  on the previous slab then overlaps the next DMA.
+
+Layout trick: per-node ray tests run on rays laid out as (2, 128)
+rows (sublane x lane), where a (TILE, 1) column op would waste 128x the
+VPU lanes. Ray row data is precomputed host-side; the per-ray best-t is
+maintained in both layouts (column for the Moller t-upper, rows for node
+tests) with the row update coming from a free major-dim split
+(TILE,128)->(2,128,128) + lane reduction.
+
+Node arrays (from accel.bvh.pack_nodes): bounds (N, 6) f32
+[min.xyz | max.xyz], meta (N, 3) i32 [left, right, leaf_cluster(-1)].
+Leaves hold exactly one cluster (max_leaf_size=1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .trace import CLUSTER_PAD, TILE, _pad_rays
+from .trace_pallas import _moller_block
+
+STACK_CAP = 64  # >= bvh depth + 2; median-split depth is ~log2(C) + 1
+ROWS_FULL = 40  # fused-attribute slab rows (ops/trace_pallas_full.py)
+ROWS_PLAIN = 9  # geometry-only slab rows (ops/trace_pallas.py)
+_INF = 3e38  # python float: jnp constants would be captured by kernels
+_NROWS = TILE // 128  # ray rows in (NROWS, 128) layout
+
+
+def _prep_bvh(ray_o, ray_d, t_max):
+    """Pad rays to TILE multiples and build per-tile column + row data.
+
+    Returns (R, R_out, n_tiles, o_col, d_col, tmax_col, rowdata) where
+    rowdata is (T, 16, 128) f32 with row pairs:
+      0-1 ox | 2-3 oy | 4-5 oz | 6-7 inv_dx | 8-9 inv_dy | 10-11 inv_dz |
+      12-13 tmax | 14-15 pad.
+    """
+    t_max_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
+    ray_o, ray_d, R_out = _pad_rays(ray_o, ray_d)
+    R = ray_o.shape[0]
+    n_tiles = R // TILE
+    o_col = ray_o.reshape(n_tiles, TILE, 3)
+    d_col = ray_d.reshape(n_tiles, TILE, 3)
+    tmax = jnp.concatenate(
+        [t_max_full, jnp.zeros((R - R_out,), jnp.float32)]
+    ).reshape(n_tiles, TILE)
+
+    # robust slab-test reciprocal: near-parallel axes behave as
+    # "inside-slab passes, outside misses" (see node test below)
+    inv_d = jnp.where(jnp.abs(d_col) > 1e-12, 1.0 / d_col, jnp.float32(1e30))
+    rows = [o_col[:, :, a].reshape(n_tiles, _NROWS, 128) for a in range(3)]
+    rows += [inv_d[:, :, a].reshape(n_tiles, _NROWS, 128) for a in range(3)]
+    rows += [tmax.reshape(n_tiles, _NROWS, 128)]
+    rows += [jnp.zeros((n_tiles, _NROWS, 128), jnp.float32)]
+    rowdata = jnp.concatenate(rows, axis=1)  # (T, 16, 128)
+    return R, R_out, n_tiles, o_col, d_col, tmax[:, :, None], rowdata
+
+
+def _row_min(t_block):
+    """(TILE, 128) -> (NROWS, 128) per-ray lane reduction (free major
+    split: ray r maps to [r // 128, r % 128])."""
+    return jnp.min(t_block.reshape(_NROWS, 128, 128), axis=-1)
+
+
+def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter):
+    """Build the find_leaf closure over one tile's ray rows.
+
+    find_leaf(sp, ub_row, worst) pops the stack until a leaf whose AABB
+    some ray enters before its personal upper bound is found. Returns
+    (sp, leaf_cluster(-1 when exhausted)). Children are tested per-ray at
+    parent pop and pushed far-first with their min entry distance.
+    """
+    oxr = row_ref[0, 0:_NROWS, :]
+    oyr = row_ref[0, 2:2 + _NROWS, :]
+    ozr = row_ref[0, 4:4 + _NROWS, :]
+    ixr = row_ref[0, 6:6 + _NROWS, :]
+    iyr = row_ref[0, 8:8 + _NROWS, :]
+    izr = row_ref[0, 10:10 + _NROWS, :]
+
+    def node_enter(i, ub_row):
+        """Per-ray slab test of node i: min entry over passing rays
+        (scalar; _INF when no ray passes). Node arrays are flattened to
+        (1, N*6) / (1, N*3): SMEM tiles are (1, 128), so a (N, 6) array
+        would pad every row to 128 lanes (1.5 MB > the 1 MB SMEM)."""
+        b = 6 * i
+        t0x = (bounds_ref[0, b + 0] - oxr) * ixr
+        t1x = (bounds_ref[0, b + 3] - oxr) * ixr
+        t0y = (bounds_ref[0, b + 1] - oyr) * iyr
+        t1y = (bounds_ref[0, b + 4] - oyr) * iyr
+        t0z = (bounds_ref[0, b + 2] - ozr) * izr
+        t1z = (bounds_ref[0, b + 5] - ozr) * izr
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        ok = (enter <= exit_) & (enter < ub_row)
+        return jnp.min(jnp.where(ok, enter, _INF))
+
+    def find_leaf(sp, ub_row, worst):
+        def cond(c):
+            sp, found = c
+            return (sp > 0) & (found < 0)
+
+        def body(c):
+            sp, found = c
+            sp = sp - 1
+            i = stack_idx[0, sp]
+            en = stack_enter[0, sp]
+            stale = en >= worst  # cheap packet-max skip of aged entries
+
+            def visit(sp):
+                leaf = meta_ref[0, 3 * i + 2]
+                is_leaf = leaf >= 0
+
+                def push_children(sp):
+                    left = meta_ref[0, 3 * i]
+                    right = meta_ref[0, 3 * i + 1]
+                    el = node_enter(left, ub_row)
+                    er = node_enter(right, ub_row)
+                    left_near = el <= er
+                    fi = jnp.where(left_near, right, left)
+                    fe = jnp.where(left_near, er, el)
+                    ni = jnp.where(left_near, left, right)
+                    ne = jnp.where(left_near, el, er)
+
+                    @pl.when(fe < _INF)
+                    def _():
+                        stack_idx[0, sp] = fi
+                        stack_enter[0, sp] = fe
+
+                    sp = sp + (fe < _INF).astype(jnp.int32)
+
+                    @pl.when(ne < _INF)
+                    def _():
+                        stack_idx[0, sp] = ni
+                        stack_enter[0, sp] = ne
+
+                    return sp + (ne < _INF).astype(jnp.int32)
+
+                sp = jax.lax.cond(is_leaf, lambda s: s, push_children, sp)
+                return sp, jnp.where(is_leaf, leaf, found)
+
+            return jax.lax.cond(stale, lambda s: (s, found), visit, sp)
+
+        sp, found = jax.lax.while_loop(cond, body, (sp, jnp.int32(-1)))
+        return sp, found
+
+    return find_leaf
+
+
+def _closest_body(fused):
+    """Kernel body shared by the plain and fused closest-hit variants."""
+
+    def kernel(bounds_ref, meta_ref, o_ref, d_ref, tmaxc_ref, row_ref,
+               tris_hbm, *rest):
+        if fused:
+            (t_out, tri_out, attr_out, tri_slab, stack_idx, stack_enter,
+             attr_scr, sems) = rest
+        else:
+            (t_out, tri_out, u_out, v_out, tri_slab, stack_idx,
+             stack_enter, sems) = rest
+
+        find_leaf = _make_descent(
+            bounds_ref, meta_ref, row_ref, stack_idx, stack_enter
+        )
+        ox = o_ref[0, :, 0:1]
+        oy = o_ref[0, :, 1:2]
+        oz = o_ref[0, :, 2:3]
+        dx = d_ref[0, :, 0:1]
+        dy = d_ref[0, :, 1:2]
+        dz = d_ref[0, :, 2:3]
+        t_min = 1e-4
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                tris_hbm.at[c], tri_slab.at[slot], sems.at[slot]
+            )
+
+        # push root
+        stack_idx[0, 0] = jnp.int32(0)
+        stack_enter[0, 0] = jnp.float32(0.0)
+        if fused:
+            attr_scr[...] = jnp.zeros((TILE, 12), jnp.float32)
+
+        best_row0 = row_ref[0, 12:12 + _NROWS, :]  # tmax rows
+        sp0, c0 = find_leaf(jnp.int32(1), best_row0, jnp.max(best_row0))
+
+        @pl.when(c0 >= 0)
+        def _():
+            get_dma(0, c0).start()
+
+        def cond(state):
+            return state[1] >= 0  # a leaf DMA is pending
+
+        def body(state):
+            if fused:
+                k, cur, sp, best_t, best_row, best_tri = state
+            else:
+                k, cur, sp, best_t, best_row, best_tri, best_u, best_v = state
+            # descend to the next leaf while cur's slab is in flight
+            sp, nxt = find_leaf(sp, best_row, jnp.max(best_row))
+
+            @pl.when(nxt >= 0)
+            def _():
+                get_dma(jax.lax.rem(k + 1, 2), nxt).start()
+
+            slot = jax.lax.rem(k, 2)
+            get_dma(slot, cur).wait()
+            slab = tri_slab[slot]
+
+            hit, t, u, v = _moller_block(
+                slab[0:9], ox, oy, oz, dx, dy, dz, t_min, best_t
+            )
+            tmin = jnp.min(t, axis=1, keepdims=True)
+            improved = tmin < best_t
+            is_best = t == tmin
+            j = jnp.min(jnp.where(is_best, lane, 128), axis=1, keepdims=True)
+
+            if fused:
+                @pl.when(jnp.any(improved))
+                def _():
+                    sel = is_best & (lane == j)
+                    selw = sel.astype(jnp.float32)
+                    w_b = 1.0 - u - v
+
+                    def interp(r0, r1, r2):
+                        a = (
+                            w_b * slab[r0:r0 + 1, :]
+                            + u * slab[r1:r1 + 1, :]
+                            + v * slab[r2:r2 + 1, :]
+                        )
+                        return jnp.sum(a * selw, axis=1, keepdims=True)
+
+                    attrs = [
+                        interp(9 + c, 12 + c, 15 + c) for c in range(3)
+                    ] + [
+                        interp(18 + c, 22 + c, 26 + c) for c in range(4)
+                    ] + [
+                        interp(30 + c, 32 + c, 34 + c) for c in range(2)
+                    ]
+                    mat_row = jnp.sum(
+                        slab[36:37, :] * selw, axis=1, keepdims=True
+                    )
+                    new_attr = jnp.concatenate(
+                        attrs + [mat_row, jnp.zeros((TILE, 2), jnp.float32)],
+                        axis=1,
+                    )
+                    attr_scr[...] = jnp.where(improved, new_attr, attr_scr[...])
+            else:
+                sel = is_best & (lane == j)
+                u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+                v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+                best_u = jnp.where(improved, u_sel, best_u)
+                best_v = jnp.where(improved, v_sel, best_v)
+
+            best_tri = jnp.where(improved, cur * CLUSTER_PAD + j, best_tri)
+            best_t = jnp.where(improved, tmin, best_t)
+            best_row = jnp.minimum(best_row, _row_min(t))
+            if fused:
+                return (k + 1, nxt, sp, best_t, best_row, best_tri)
+            return (k + 1, nxt, sp, best_t, best_row, best_tri, best_u, best_v)
+
+        init_common = (
+            jnp.int32(0),
+            c0,
+            sp0,
+            tmaxc_ref[0],
+            best_row0,
+            jnp.full((TILE, 1), -1, jnp.int32),
+        )
+        if fused:
+            state = jax.lax.while_loop(cond, body, init_common)
+            _, _, _, best_t, _, best_tri = state
+            t_out[0] = best_t
+            tri_out[0] = best_tri
+            attr_out[0] = attr_scr[...]
+        else:
+            init = init_common + (
+                jnp.zeros((TILE, 1), jnp.float32),
+                jnp.zeros((TILE, 1), jnp.float32),
+            )
+            state = jax.lax.while_loop(cond, body, init)
+            _, _, _, best_t, _, best_tri, best_u, best_v = state
+            t_out[0] = best_t
+            tri_out[0] = best_tri
+            u_out[0] = best_u
+            v_out[0] = best_v
+
+    return kernel
+
+
+def _in_specs():
+    return [
+        pl.BlockSpec((1, TILE, 3), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE, 3), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE, 1), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 16, 128), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+
+
+def _out_block(width=1):
+    return pl.BlockSpec(
+        (1, TILE, width), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+@jax.jit
+def trace_closest_bvh(
+    tris_packed: jnp.ndarray,  # (C, 9, 128)
+    bounds: jnp.ndarray,  # (N, 6) f32
+    meta: jnp.ndarray,  # (N, 3) i32
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+):
+    """BVH closest-hit; same contract as trace.trace_closest (t_min fixed
+    at 1e-4 in-kernel like the round-1 kernels)."""
+    del t_min
+    R, R_out, n_tiles, o_col, d_col, tmax_col, rowdata = _prep_bvh(
+        ray_o, ray_d, t_max
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=_in_specs(),
+        out_specs=[_out_block() for _ in range(4)],
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
+            pltpu.SMEM((1, STACK_CAP), jnp.int32),
+            pltpu.SMEM((1, STACK_CAP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    t, tri, u, v = pl.pallas_call(
+        _closest_body(fused=False),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
+        ],
+    )(bounds.reshape(1, -1), meta.reshape(1, -1), o_col, d_col,
+      tmax_col, rowdata, tris_packed)
+    return {
+        "t": t.reshape(R)[:R_out],
+        "tri": tri.reshape(R)[:R_out],
+        "u": u.reshape(R)[:R_out],
+        "v": v.reshape(R)[:R_out],
+    }
+
+
+@jax.jit
+def trace_closest_bvh_full(
+    tris_packed: jnp.ndarray,  # (C, 40, 128)
+    bounds: jnp.ndarray,
+    meta: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+):
+    """BVH closest-hit + fused world-space attribute interpolation; same
+    contract as ops/trace_pallas_full.trace_closest_full."""
+    del t_min
+    R, R_out, n_tiles, o_col, d_col, tmax_col, rowdata = _prep_bvh(
+        ray_o, ray_d, t_max
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=_in_specs(),
+        out_specs=[_out_block(), _out_block(), _out_block(12)],
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS_FULL, 128), jnp.float32),
+            pltpu.SMEM((1, STACK_CAP), jnp.int32),
+            pltpu.SMEM((1, STACK_CAP), jnp.float32),
+            pltpu.VMEM((TILE, 12), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    t, tri, attr = pl.pallas_call(
+        _closest_body(fused=True),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, TILE, 12), jnp.float32),
+        ],
+    )(bounds.reshape(1, -1), meta.reshape(1, -1), o_col, d_col,
+      tmax_col, rowdata, tris_packed)
+    attr = attr.reshape(R, 12)[:R_out]
+    return {
+        "t": t.reshape(R)[:R_out],
+        "tri": tri.reshape(R)[:R_out],
+        "normal": attr[:, 0:3],
+        "tangent": attr[:, 3:7],
+        "uv": attr[:, 7:9],
+        "material": attr[:, 9].astype(jnp.int32),
+    }
+
+
+def _any_kernel(bounds_ref, meta_ref, o_ref, d_ref, tmaxc_ref, row_ref,
+                tris_hbm, occ_out, tri_slab, stack_idx, stack_enter, sems):
+    find_leaf = _make_descent(
+        bounds_ref, meta_ref, row_ref, stack_idx, stack_enter
+    )
+    ox = o_ref[0, :, 0:1]
+    oy = o_ref[0, :, 1:2]
+    oz = o_ref[0, :, 2:3]
+    dx = d_ref[0, :, 0:1]
+    dy = d_ref[0, :, 1:2]
+    dz = d_ref[0, :, 2:3]
+    tmax = tmaxc_ref[0]
+    t_min = 0.1  # shadow-ray tMin parity (main.rgen shadow())
+    tmax_row = row_ref[0, 12:12 + _NROWS, :]
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            tris_hbm.at[c], tri_slab.at[slot], sems.at[slot]
+        )
+
+    stack_idx[0, 0] = jnp.int32(0)
+    stack_enter[0, 0] = jnp.float32(0.0)
+    sp0, c0 = find_leaf(jnp.int32(1), tmax_row, jnp.max(tmax_row))
+
+    @pl.when(c0 >= 0)
+    def _():
+        get_dma(0, c0).start()
+
+    def cond(state):
+        return state[1] >= 0
+
+    def body(state):
+        k, cur, sp, occ, ub_row = state
+        sp, nxt = find_leaf(sp, ub_row, jnp.max(ub_row))
+
+        @pl.when(nxt >= 0)
+        def _():
+            get_dma(jax.lax.rem(k + 1, 2), nxt).start()
+
+        slot = jax.lax.rem(k, 2)
+        get_dma(slot, cur).wait()
+        hit, t, _, _ = _moller_block(
+            tri_slab[slot][0:9], ox, oy, oz, dx, dy, dz, t_min, tmax
+        )
+        occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+        # occluded rays drop their upper bound to 0 -> they stop steering
+        # the descent; when all rays occlude, worst hits 0 and the stack
+        # drains via the stale skip
+        hit_row = jnp.max(
+            hit.astype(jnp.float32).reshape(_NROWS, 128, 128), axis=-1
+        )
+        ub_row = jnp.where(hit_row > 0.0, 0.0, ub_row)
+        return (k + 1, nxt, sp, occ, ub_row)
+
+    init = (
+        jnp.int32(0),
+        c0,
+        sp0,
+        jnp.zeros((TILE, 1), jnp.int32),
+        tmax_row,
+    )
+    _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
+    occ_out[0] = occ
+
+
+@jax.jit
+def trace_any_bvh(
+    tris_packed: jnp.ndarray,  # (C, 9, 128) (or any slab with rows 0-8)
+    bounds: jnp.ndarray,
+    meta: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+):
+    """BVH any-hit (shadow rays): occluded mask, per-ray termination."""
+    del t_min
+    R, R_out, n_tiles, o_col, d_col, tmax_col, rowdata = _prep_bvh(
+        ray_o, ray_d, t_max
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=_in_specs(),
+        out_specs=[_out_block()],
+        scratch_shapes=[
+            pltpu.VMEM((2, tris_packed.shape[1], 128), jnp.float32),
+            pltpu.SMEM((1, STACK_CAP), jnp.int32),
+            pltpu.SMEM((1, STACK_CAP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (occ,) = pl.pallas_call(
+        _any_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32)],
+    )(bounds.reshape(1, -1), meta.reshape(1, -1), o_col, d_col,
+      tmax_col, rowdata, tris_packed)
+    return (occ.reshape(R) > 0)[:R_out]

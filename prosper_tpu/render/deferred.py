@@ -56,16 +56,25 @@ def shade_deferred(
     }
 
     color = eval_directional_light(surface, lights)
-    color = color + eval_clustered_lights(
-        surface,
-        lights,
-        clusters,
-        px,
-        py,
-        gbuf["z_cam"],
-        cam["near"],
-        cam["far"],
-    )
+    if clusters is None:
+        # TPU path: tile-major Pallas kernel — froxel lists loaded once
+        # per 32px tile instead of per pixel (ops/shade_tiles.py)
+        from ..ops.shade_tiles import shade_clustered_tiles
+
+        color = color + shade_clustered_tiles(
+            surface, lights, cam, gbuf["z_cam"], gbuf["valid"], width, height
+        )
+    else:
+        color = color + eval_clustered_lights(
+            surface,
+            lights,
+            clusters,
+            px,
+            py,
+            gbuf["z_cam"],
+            cam["near"],
+            cam["far"],
+        )
     if ibl_data is not None:
         from ..ops.ibl import eval_ibl
 
@@ -108,7 +117,11 @@ def render_deferred(
         static_scene, frame, arena, cam, width, height,
         use_culling=use_culling, prev_hiz=prev_hiz,
     )
-    clusters = build_light_clusters(cam, frame["lights"], width, height)
+    clusters = (
+        None
+        if jax.default_backend() != "cpu"
+        else build_light_clusters(cam, frame["lights"], width, height)
+    )
     color = shade_deferred(
         gbuf, clusters, frame["lights"], cam, width, height, ibl_data
     )

@@ -98,7 +98,10 @@ def render_forward(
 
     tris = trace.world_triangles(static_scene, frame)
     closest_fn, _ = trace.make_tracer(
-        tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
+        tris,
+        frame["wc_aabb_min_w"],
+        frame["wc_aabb_max_w"],
+        bvh=trace.frame_bvh(frame),
     )
     hit = closest_fn(o, d, 1e-4, jnp.inf)
     inv = jnp.asarray(inv_np)

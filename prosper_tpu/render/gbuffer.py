@@ -69,15 +69,26 @@ def render_gbuffer(
 
     tris = trace.world_triangles(static_scene, frame)
     use_full = jax.default_backend() != "cpu"
+    bvh = trace.frame_bvh(frame)
     if use_full:
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
         packed_full = pack_tris_full(static_scene, frame)
 
-        def make_closest(mn, mx):
-            from functools import partial
+        if bvh is not None and not use_culling:
+            # BVH descent for the plain G-buffer path; the culling path
+            # masks cluster AABBs per phase, which needs the flat kernel
+            from ..ops.trace_bvh import trace_closest_bvh_full
 
-            return partial(trace_closest_full, packed_full, mn, mx)
+            def make_closest(mn, mx):
+                from functools import partial
+
+                return partial(trace_closest_bvh_full, packed_full, bvh[0], bvh[1])
+        else:
+            def make_closest(mn, mx):
+                from functools import partial
+
+                return partial(trace_closest_full, packed_full, mn, mx)
     else:
         def make_closest(mn, mx):
             from functools import partial

@@ -99,7 +99,10 @@ def pt_trace_pixels(
     tris = trace.world_triangles(static_scene, frame)
     wc_min = frame["wc_aabb_min_w"]
     wc_max = frame["wc_aabb_max_w"]
-    trace_closest_fn, trace_any_fn = trace.make_tracer(tris, wc_min, wc_max)
+    bvh = trace.frame_bvh(frame)
+    trace_closest_fn, trace_any_fn = trace.make_tracer(
+        tris, wc_min, wc_max, bvh=bvh
+    )
     use_full_kernel = jax.default_backend() != "cpu"
     if use_full_kernel:
         # fused hit+attribute kernel: surface attributes come out of the
@@ -109,9 +112,16 @@ def pt_trace_pixels(
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
         packed_full = pack_tris_full(static_scene, frame)
-        trace_closest_fn = _partial(
-            trace_closest_full, packed_full, wc_min, wc_max
-        )
+        if bvh is not None:
+            from ..ops.trace_bvh import trace_closest_bvh_full
+
+            trace_closest_fn = _partial(
+                trace_closest_bvh_full, packed_full, bvh[0], bvh[1]
+            )
+        else:
+            trace_closest_fn = _partial(
+                trace_closest_full, packed_full, wc_min, wc_max
+            )
     lights = frame["lights"]
     light_count = (1 + lights["point_count"] + lights["spot_count"]).astype(
         jnp.float32
@@ -221,7 +231,13 @@ def pt_trace_pixels(
             )
 
         # ---- direct lighting (main.rgen:196-226) ----
-        state, pick = prng.rnd01(state)
+        # The reference's evaluateDirectLighting returns before its rnd01
+        # when the surface alpha == 0 (failed mask test) and is never
+        # called on miss, so the light-pick advance is masked per ray to
+        # keep bit-exact stream parity on paths through alpha==0 hits.
+        state_dl, pick = prng.rnd01(state)
+        adv_dl = hit_valid & (surface["alpha"] != 0.0)
+        state = jnp.where(adv_dl[..., None], state_dl, state)
         light_index = jnp.minimum(
             (pick * light_count).astype(jnp.uint32),
             (light_count - 1.0).astype(jnp.uint32),

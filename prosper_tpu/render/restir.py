@@ -149,6 +149,7 @@ def spatial_reuse(
 
     samples_li = []
     samples_ucw = []
+    samples_found = []
     for _i in range(SPATIAL_SAMPLES):
         state, found, samp_flat = jax.lax.fori_loop(
             0,
@@ -158,10 +159,12 @@ def spatial_reuse(
         )
         samples_li.append(jnp.where(found, res_light[samp_flat], -1))
         samples_ucw.append(jnp.where(found, res_ucw[samp_flat], 0.0))
+        samples_found.append(found)
 
-    valid_count = sum(
-        (li >= 0).astype(jnp.float32) for li in samples_li
-    )
+    # validSampleCount counts every neighbor that passed the depth/normal
+    # heuristics, even when its reservoir is empty (lightIndex -1) —
+    # spatial_reuse.comp increments before inspecting the reservoir.
+    valid_count = sum(f.astype(jnp.float32) for f in samples_found)
 
     out_light = jnp.full((R,), -1, jnp.int32)
     sum_w = jnp.zeros((R,), jnp.float32)
@@ -204,7 +207,10 @@ def restir_shade(
     shadow_o = jnp.where(valid[..., None], surface["position_ws"], 0.0)
     shadow_d = jnp.where(valid[..., None], l, jnp.array([0.0, 0.0, 1.0]))
     _, any_fn = trace.make_tracer(
-        tris, frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
+        tris,
+        frame["wc_aabb_min_w"],
+        frame["wc_aabb_max_w"],
+        bvh=trace.frame_bvh(frame),
     )
     occluded = any_fn(shadow_o, shadow_d, 0.1, jnp.where(valid, dist, 0.0))
     vis = jnp.where(valid & ~occluded, 1.0, 0.0)

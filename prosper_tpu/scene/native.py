@@ -27,15 +27,18 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.abspath(os.path.join(_CPP_DIR, "libasset_pipeline.so"))
-    if not os.path.exists(so):
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_CPP_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
+    # Always invoke make: the Makefile is dependency-driven, so a stale
+    # .so is rebuilt when asset_pipeline.cpp changed (and it's a no-op
+    # otherwise). A missing toolchain falls back to the numpy paths.
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_CPP_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(so):
             return None
     try:
         lib = ctypes.CDLL(so)

@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..accel.bvh import Bvh, build_bvh, transform_aabbs
+from ..accel.bvh import Bvh, build_bvh, pack_nodes, transform_aabbs
 from ..utils.logger import log_info
 from . import animation as anim
 from .camera import Camera, CameraParameters, CameraTransform
@@ -488,9 +488,10 @@ class World:
                 self.wc_aabb_min_obj[sel], self.wc_aabb_max_obj[sel], m2w[inst]
             )
         bvh: Bvh = build_bvh(wmin, wmax, max_leaf_size=1)
+        bvh_bounds, bvh_meta = pack_nodes(bvh)
+        from ..ops.trace_bvh import STACK_CAP
 
-        # Leaf slots point at 128-aligned tri ranges in the static arena.
-        leaf_tri_offset = (bvh.order.astype(np.int32) * CLUSTER_TRI_PAD)
+        assert bvh.depth + 2 <= STACK_CAP, "scene exceeds BVH stack depth"
 
         transforms = m2w[:, :3, :4].astype(np.float32)
         normal_ms = (
@@ -511,14 +512,9 @@ class World:
             "inst_packed": inst_packed,  # (I, 21): 3x4 | 3x3 rows
             "transforms": transforms,  # (I, 3, 4)
             "normal_transforms": normal_ms,  # (I, 3, 3)
-            "bvh_min": bvh.nodes_min,
-            "bvh_max": bvh.nodes_max,
-            "bvh_left": bvh.nodes_left,
-            "bvh_right": bvh.nodes_right,
-            "bvh_first": bvh.nodes_first,
-            "bvh_count": bvh.nodes_count,
+            "bvh_bounds": bvh_bounds,  # (N, 6) kernel node bounds
+            "bvh_meta": bvh_meta,  # (N, 3) left | right | leaf cluster
             "bvh_depth": bvh.depth,
-            "leaf_tri_offset": leaf_tri_offset,
             "lights": light_uniforms(la),
             "scene_camera": st.camera,
         }

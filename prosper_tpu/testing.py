@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .accel.bvh import build_bvh
+from .accel.bvh import build_bvh, pack_nodes
 from .scene.camera import Camera, CameraParameters, CameraTransform
 from .scene.lights import LightArrays, light_uniforms
 from .scene.meshlets import CLUSTER_TRI_PAD
@@ -124,13 +124,8 @@ def make_test_scene(n_boxes: int = 4, seed: int = 0):
         "wc_aabb_max_w": wc_max,
         "transforms": np.eye(4, dtype=np.float32)[None, :3, :4],
         "normal_transforms": np.eye(3, dtype=np.float32)[None],
-        "bvh_min": bvh.nodes_min,
-        "bvh_max": bvh.nodes_max,
-        "bvh_left": bvh.nodes_left,
-        "bvh_right": bvh.nodes_right,
-        "bvh_first": bvh.nodes_first,
-        "bvh_count": bvh.nodes_count,
-        "leaf_tri_offset": (bvh.order.astype(np.int32) * pad),
+        "bvh_bounds": pack_nodes(bvh)[0],
+        "bvh_meta": pack_nodes(bvh)[1],
         "lights": light_uniforms(lights),
     }
 
