@@ -12,8 +12,9 @@
 //  - cluster_bounds: per-cluster AABB / bounding sphere / normal cone
 //    (meshopt_computeMeshletBounds analog)
 //  - smooth_normals: area-weighted vertex normals
-//  - lengyel_tangents: per-vertex tangent frames from UVs (the
-//    MikkTSpace-style tangent generation stage)
+//  - lengyel_tangents: per-vertex tangent frames from UVs (legacy)
+//  - mikktspace_tangents: MikkTSpace-algorithm tangents (angle-weighted,
+//    per-face projected, welded wedges split by handedness)
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libasset_pipeline.so
 //        asset_pipeline.cpp
@@ -23,6 +24,7 @@
 #include <cstring>
 #include <algorithm>
 #include <numeric>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -269,3 +271,149 @@ void lengyel_tangents(
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// MikkTSpace tangents — algorithm port (NOT a copy of mikktspace.c; the
+// reference links the real library, DeferredLoadingContext.cpp:266-338).
+// Semantics reproduced:
+//  - per-face tangent from UV derivatives with orientation (handedness)
+//  - per-corner contribution PROJECTED onto the vertex normal's plane and
+//    normalized BEFORE accumulation
+//  - accumulation weighted by the corner's wedge ANGLE
+//  - wedges weld by exact (position, normal, uv) equality, split by
+//    orientation, so mirrored seams keep distinct frames
+//  - degenerate-UV faces contribute nothing; empty groups fall back to an
+//    arbitrary orthonormal frame
+// Output per VERTEX (glTF meshes are indexed; wedges of one index share
+// attributes, which is exactly the weld key).
+
+extern "C" void mikktspace_tangents(
+    const float *positions, const float *normals, const float *uvs,
+    uint64_t n_verts, const uint32_t *indices, uint64_t n_tris,
+    float *out_tangents)
+{
+    // weld: map exact (pos, normal, uv) bits -> canonical vertex
+    struct Key
+    {
+        uint32_t b[8];
+        bool operator==(const Key &o) const
+        {
+            return std::memcmp(b, o.b, sizeof(b)) == 0;
+        }
+    };
+    struct KeyHash
+    {
+        size_t operator()(const Key &k) const
+        {
+            uint64_t h = 1469598103934665603ull;
+            for (uint32_t w : k.b)
+            {
+                h ^= w;
+                h *= 1099511628211ull;
+            }
+            return (size_t)h;
+        }
+    };
+    std::vector<uint32_t> canon(n_verts);
+    {
+        std::unordered_map<Key, uint32_t, KeyHash> weld;
+        weld.reserve(n_verts);
+        for (uint64_t v = 0; v < n_verts; ++v)
+        {
+            Key k;
+            std::memcpy(k.b + 0, positions + 3 * v, 12);
+            std::memcpy(k.b + 3, normals + 3 * v, 12);
+            std::memcpy(k.b + 6, uvs + 2 * v, 8);
+            auto it = weld.emplace(k, (uint32_t)v);
+            canon[v] = it.first->second;
+        }
+    }
+
+    // group accumulators: canonical vertex x orientation {+,-}
+    std::vector<Vec3> acc(2 * n_verts, {0, 0, 0});
+    std::vector<float> wsum(2 * n_verts, 0.f);
+
+    auto corner_angle = [&](Vec3 a, Vec3 b) {
+        float d = dot(norm(a), norm(b));
+        d = std::max(-1.f, std::min(1.f, d));
+        return std::acos(d);
+    };
+
+    for (uint64_t t = 0; t < n_tris; ++t)
+    {
+        const uint32_t idx[3] = {indices[3 * t], indices[3 * t + 1],
+                                 indices[3 * t + 2]};
+        Vec3 p[3], nrm_[3];
+        float w[3][2];
+        for (int c = 0; c < 3; ++c)
+        {
+            p[c] = {positions[3 * idx[c]], positions[3 * idx[c] + 1],
+                    positions[3 * idx[c] + 2]};
+            nrm_[c] = {normals[3 * idx[c]], normals[3 * idx[c] + 1],
+                       normals[3 * idx[c] + 2]};
+            w[c][0] = uvs[2 * idx[c]];
+            w[c][1] = uvs[2 * idx[c] + 1];
+        }
+        Vec3 e1 = sub(p[1], p[0]), e2 = sub(p[2], p[0]);
+        float x1 = w[1][0] - w[0][0], x2 = w[2][0] - w[0][0];
+        float y1 = w[1][1] - w[0][1], y2 = w[2][1] - w[0][1];
+        float det = x1 * y2 - x2 * y1;
+        if (std::fabs(det) < 1e-12f)
+            continue; // degenerate UVs: no contribution
+        float inv = 1.f / det;
+        // dP/du (the "vOs" direction mikktspace accumulates)
+        Vec3 tface = mul(sub(mul(e1, y2), mul(e2, y1)), inv);
+        if (len(tface) < 1e-20f)
+            continue;
+        int orient = det < 0.f ? 1 : 0; // 1 = mirrored
+
+        for (int c = 0; c < 3; ++c)
+        {
+            Vec3 n = norm(nrm_[c]);
+            // project onto the normal plane, normalize BEFORE averaging
+            Vec3 tp = sub(tface, mul(n, dot(n, tface)));
+            float tl = len(tp);
+            if (tl < 1e-20f)
+                continue;
+            tp = mul(tp, 1.f / tl);
+            Vec3 ea = sub(p[(c + 1) % 3], p[c]);
+            Vec3 eb = sub(p[(c + 2) % 3], p[c]);
+            float ang = corner_angle(ea, eb);
+            uint64_t g = 2ull * canon[idx[c]] + orient;
+            acc[g] = add(acc[g], mul(tp, ang));
+            wsum[g] += ang;
+        }
+    }
+
+    for (uint64_t v = 0; v < n_verts; ++v)
+    {
+        Vec3 n = norm({normals[3 * v], normals[3 * v + 1],
+                       normals[3 * v + 2]});
+        // prefer the orientation group this vertex actually accumulated;
+        // unmirrored wins ties (mikktspace assigns per wedge — indexed
+        // meshes split mirrored wedges into their own vertices)
+        uint64_t g0 = 2ull * canon[v], g1 = g0 + 1;
+        uint64_t g = wsum[g0] >= wsum[g1] ? g0 : g1;
+        float sign = (g == g1) ? -1.f : 1.f;
+        Vec3 tsum = acc[g];
+        // final projection + normalize (group sums stay near the plane
+        // but re-orthogonalize like mikktspace's output step)
+        Vec3 tp = sub(tsum, mul(n, dot(n, tsum)));
+        float tl = len(tp);
+        if (wsum[g] <= 0.f || tl < 1e-20f)
+        {
+            Vec3 ref = std::fabs(n.y) < .99f ? Vec3{0, 1, 0} : Vec3{1, 0, 0};
+            Vec3 tn = norm(cross(ref, n));
+            out_tangents[4 * v + 0] = tn.x;
+            out_tangents[4 * v + 1] = tn.y;
+            out_tangents[4 * v + 2] = tn.z;
+            out_tangents[4 * v + 3] = 1.f;
+            continue;
+        }
+        tp = mul(tp, 1.f / tl);
+        out_tangents[4 * v + 0] = tp.x;
+        out_tangents[4 * v + 1] = tp.y;
+        out_tangents[4 * v + 2] = tp.z;
+        out_tangents[4 * v + 3] = sign;
+    }
+}

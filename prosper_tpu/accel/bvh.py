@@ -98,13 +98,14 @@ def build_bvh(
         c = cent[idx]
         ext = c.max(axis=0) - c.min(axis=0)
         axis = int(np.argmax(ext))
-        if ext[axis] <= 1e-12:
-            # all centroids identical: make a leaf regardless of size
-            nodes_first[node] = s
-            nodes_count[node] = count
-            continue
         mid = count // 2
-        part = np.argpartition(c[:, axis], mid)
+        if ext[axis] <= 1e-12:
+            # all centroids identical (e.g. unstreamed degenerate
+            # clusters): split by index — keeps leaves <= max_leaf_size
+            # (traversal kernels require exactly one cluster per leaf)
+            part = np.arange(count)
+        else:
+            part = np.argpartition(c[:, axis], mid)
         order[s:e] = idx[part]
         left = alloc()
         right = alloc()

@@ -57,7 +57,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="procedural sky cubemap face resolution")
     r.add_argument("--culling", action="store_true", help="two-phase meshlet culling (deferred)")
     r.add_argument("--bloom", action="store_true", help="bloom (deferred mode)")
+    r.add_argument(
+        "--bloom-technique",
+        default="multi_res",
+        choices=["multi_res", "fft"],
+        help="bloom technique (Bloom.hpp:56-70)",
+    )
     r.add_argument("--dof", action="store_true", help="depth of field (deferred mode)")
+    r.add_argument(
+        "--autofocus",
+        action="store_true",
+        help="DoF focus from a frame-late center depth pick (App.cpp:607-631)",
+    )
+    r.add_argument(
+        "--particles",
+        action="store_true",
+        help="toy particle system, drawn pre-TAA (Renderer.cpp:531-538)",
+    )
     r.add_argument(
         "--draw-type",
         default="default",
@@ -122,11 +138,22 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     world = World(args.scene, use_cache=not args.no_cache, streaming=args.streaming)
-    arena = build_texture_arena(
-        world.doc,
-        max_dim=args.max_texture_dim,
-        scene_path=None if args.no_cache else args.scene,
-    )
+    texture_jobs = []
+    if args.streaming:
+        # layout from headers; contents stream in after meshes
+        from ..scene.textures import build_streaming_arena
+
+        arena, texture_jobs = build_streaming_arena(
+            world.doc,
+            max_dim=args.max_texture_dim,
+            scene_path=None if args.no_cache else args.scene,
+        )
+    else:
+        arena = build_texture_arena(
+            world.doc,
+            max_dim=args.max_texture_dim,
+            scene_path=None if args.no_cache else args.scene,
+        )
     log_info("Scene ready in %.2fs", time.time() - t0)
 
     static = {
@@ -210,18 +237,34 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.streaming:
             if f == 0:
-                world.start_streaming()
-            if world.poll_streaming() and world.streaming_dirty:
-                # adopt: re-stream the touched arenas to HBM
-                static = {
-                    k: (
-                        {kk: jnp.asarray(vv) for kk, vv in v.items()}
-                        if isinstance(v, dict)
-                        else jnp.asarray(v)
+                world.start_streaming(texture_jobs)
+            if world.poll_streaming():
+                # texture adoption: in-place arena writes over the
+                # neutral regions (pollTextureWorker analog)
+                from ..scene.textures import arena_write
+
+                for tex in world.take_adopted_textures():
+                    arena_dev["data"] = arena_write(
+                        arena_dev["data"], tex.chunk, tex.offset
                     )
-                    for k, v in world.static_scene_arrays().items()
-                }
-                world.streaming_dirty = False
+                if world.streaming_dirty:
+                    # mesh adoption: re-stream the touched arenas to HBM
+                    static = {
+                        k: (
+                            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                            if isinstance(v, dict)
+                            else jnp.asarray(v)
+                        )
+                        for k, v in world.static_scene_arrays().items()
+                    }
+                    world.streaming_dirty = False
+        if args.autofocus and isinstance(state, dict) and state.get("depth") is not None:
+            # depth-pick readback lands a frame late (App.cpp:607-631)
+            from ..render.readback import pick_focus_distance
+
+            cam_obj.parameters.focus_distance = pick_focus_distance(
+                state["depth"], cam_obj.uniforms(), (0.5, 0.5)
+            )
         t_anim = args.time + (f / 60.0 if args.animate else 0.0)
         frame = world.frame_arrays(t_anim)
         frame_dev = {
@@ -248,6 +291,11 @@ def main(argv: list[str] | None = None) -> int:
             use_bloom=args.bloom,
             use_dof=args.dof,
             use_culling=args.culling,
+            use_particles=args.particles,
+            bloom_technique=args.bloom_technique,
+            # transparent pass only when the scene has blend materials
+            # (recordTransparent draws the blend alpha-mode draw list)
+            use_transparent=bool((world.materials.alpha_mode == 2).any()),
             ibl_data=ibl_data,
             env=env,
             draw_type=_draw_type_index(args.draw_type),

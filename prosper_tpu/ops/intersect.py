@@ -86,7 +86,14 @@ def packet_aabb_enter_exit(o_lo, o_hi, d_lo, d_hi, bmin, bmax):
     big = jnp.float32(3e38)
     t_enter_ax = jnp.where(uniform, t_enter_ax, -big)
     t_exit_ax = jnp.where(uniform, t_exit_ax, big)
-    return jnp.max(t_enter_ax, axis=-1), jnp.min(t_exit_ax, axis=-1)
+    # inverted (masked-out) AABBs must never overlap: the interval
+    # endpoint min/max above would otherwise normalize min>max boxes
+    # into huge valid ones (render/gbuffer._masked_aabbs culling)
+    invalid = jnp.any(bmin > bmax, axis=-1)
+    return (
+        jnp.where(invalid, big, jnp.max(t_enter_ax, axis=-1)),
+        jnp.where(invalid, -big, jnp.min(t_exit_ax, axis=-1)),
+    )
 
 
 def packet_aabb_overlap(
@@ -137,4 +144,6 @@ def packet_aabb_overlap(
     # outside the slab and can never move in; conservatively keep it open
     enter = jnp.max(t_enter_ax, axis=-1)
     exit_ = jnp.min(t_exit_ax, axis=-1)
-    return (enter <= exit_) & (exit_ >= 0.0) & (enter <= t_max)
+    # inverted (masked-out) AABBs never overlap (see packet_aabb_enter_exit)
+    valid = jnp.all(bmin <= bmax, axis=-1)
+    return valid & (enter <= exit_) & (exit_ >= 0.0) & (enter <= t_max)

@@ -109,12 +109,29 @@ def pack_material_tables(materials: dict, arena: dict):
     return jnp.asarray(f32), jnp.asarray(i32)
 
 
-def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv):
-    """Fast-path sampleMaterial over the packed tables (lod 0)."""
+def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv, lod=None):
+    """Fast-path sampleMaterial over the packed tables.
+
+    lod=None: base-mip (the RT shaders' derivative-free texture()).
+    lod given: per-ray log2 world-footprint-times-uv-density; each
+    texture adds log2 of its own base dimension (ray-cone mip selection,
+    the raster path's derivative LOD analog, Renderer.cpp:709-715)."""
     f32 = arena["mat_f32"][mat_idx]  # (R, 8)
     i32 = arena["mat_i32"][mat_idx]  # (R, 16)
 
-    base = _bilinear_entry(arena, i32[..., 4:8], uv) * f32[..., 0:4]
+    if lod is None:
+        def tex_sample(tex_ids, entry0):
+            del tex_ids
+            return _bilinear_entry(arena, entry0, uv)
+    else:
+        def tex_sample(tex_ids, entry0):
+            size = jnp.maximum(entry0[..., 1], entry0[..., 2]).astype(
+                jnp.float32
+            )
+            lod_t = lod + jnp.log2(jnp.maximum(size, 1.0))
+            return sample_trilinear(arena, tex_ids, uv, lod_t)
+
+    base = tex_sample(i32[..., 1], i32[..., 4:8]) * f32[..., 0:4]
     alpha_mode = i32[..., 0]
     cutoff = f32[..., 6]
     alpha = jnp.where(
@@ -122,10 +139,10 @@ def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv):
         base[..., 3],
         jnp.where((alpha_mode == 1) & (base[..., 3] < cutoff), 0.0, -1.0),
     )
-    mr = _bilinear_entry(arena, i32[..., 8:12], uv)
+    mr = tex_sample(i32[..., 2], i32[..., 8:12])
     roughness = jnp.maximum(mr[..., 1] * f32[..., 5], 0.05)
     metallic = mr[..., 2] * f32[..., 4]
-    nrm = _bilinear_entry(arena, i32[..., 12:16], uv)
+    nrm = tex_sample(i32[..., 3], i32[..., 12:16])
     normal_ts = jnp.where(
         (i32[..., 3] > 0)[..., None],
         nrm[..., :3] * 2.0 - 1.0,
@@ -156,7 +173,8 @@ def sample_alpha_packed(arena: dict, mat_idx: jnp.ndarray, uv):
     )
 
 
-def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=None):
+def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv,
+                    lod=None, footprint=False):
     """sampleMaterial parity (materials.glsl:46-121).
 
     lod=None means base-mip sampling (the RT shaders' texture() without
@@ -175,6 +193,15 @@ def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv, lod=
     if lod is None:
         def tex_sample(tex_ids):
             return _bilinear_entry(arena, arena["table"][tex_ids, 0], uv)
+    elif footprint:
+        # lod is a per-ray log2 world-footprint * uv-density; add each
+        # texture's own base dimension (see sample_material_packed)
+        def tex_sample(tex_ids):
+            e0 = arena["table"][tex_ids, 0]
+            size = jnp.maximum(e0[..., 1], e0[..., 2]).astype(jnp.float32)
+            return sample_trilinear(
+                arena, tex_ids, uv, lod + jnp.log2(jnp.maximum(size, 1.0))
+            )
     else:
         def tex_sample(tex_ids):
             return sample_trilinear(arena, tex_ids, uv, lod)

@@ -19,22 +19,25 @@ packet descent over the per-frame cluster BVH built host-side
 - Leaf pipelining: while a leaf's 128-triangle slab is in flight
   (HBM->VMEM DMA), the kernel descends to the next leaf; Moller-Trumbore
   on the previous slab then overlaps the next DMA.
+- TILES_PER_STEP ray tiles are processed per grid step: the per-step
+  pipeline cost (~6 us of input-buffer DMA/sync) dominated sparse frames
+  when every 256-ray tile was its own step.
 
 Layout trick: per-node ray tests run on rays laid out as (2, 128)
 rows (sublane x lane), where a (TILE, 1) column op would waste 128x the
-VPU lanes. Ray row data is precomputed host-side; the per-ray best-t is
-maintained in both layouts (column for the Moller t-upper, rows for node
-tests) with the row update coming from a free major-dim split
-(TILE,128)->(2,128,128) + lane reduction.
+VPU lanes. Ray row data is precomputed host-side (one transpose); the
+per-ray best-t is maintained in both layouts (column for the Moller
+t-upper, rows for node tests) with the row update coming from a free
+major-dim split (TILE,128)->(2,128,128) + lane reduction.
 
 Node arrays (from accel.bvh.pack_nodes): bounds (N, 6) f32
-[min.xyz | max.xyz], meta (N, 3) i32 [left, right, leaf_cluster(-1)].
-Leaves hold exactly one cluster (max_leaf_size=1).
+[min.xyz | max.xyz], meta (N, 3) i32 [left, right, leaf_cluster(-1)],
+flattened to (1, N*6)/(1, N*3) for SMEM (tiles are (1, 128); 2D rows
+would pad every row to 128 lanes). Leaves hold exactly one cluster
+(max_leaf_size=1).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -47,20 +50,28 @@ from .trace_pallas import _moller_block
 STACK_CAP = 64  # >= bvh depth + 2; median-split depth is ~log2(C) + 1
 ROWS_FULL = 40  # fused-attribute slab rows (ops/trace_pallas_full.py)
 ROWS_PLAIN = 9  # geometry-only slab rows (ops/trace_pallas.py)
+TILES_PER_STEP = 8  # ray tiles processed per grid step
 _INF = 3e38  # python float: jnp constants would be captured by kernels
 _NROWS = TILE // 128  # ray rows in (NROWS, 128) layout
 
 
 def _prep_bvh(ray_o, ray_d, t_max):
-    """Pad rays to TILE multiples and build per-tile column + row data.
+    """Pad rays to TILES_PER_STEP*TILE multiples and build per-tile
+    column + row data.
 
-    Returns (R, R_out, n_tiles, o_col, d_col, tmax_col, rowdata) where
+    Returns (R, R_out, n_steps, o_col, d_col, tmax_col, rowdata) where
     rowdata is (T, 16, 128) f32 with row pairs:
       0-1 ox | 2-3 oy | 4-5 oz | 6-7 inv_dx | 8-9 inv_dy | 10-11 inv_dz |
       12-13 tmax | 14-15 pad.
     """
     t_max_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
     ray_o, ray_d, R_out = _pad_rays(ray_o, ray_d)
+    pad2 = (-ray_o.shape[0]) % (TILES_PER_STEP * TILE)
+    if pad2:
+        ray_o = jnp.concatenate(
+            [ray_o, jnp.broadcast_to(ray_o[:1], (pad2, 3))], axis=0
+        )
+        ray_d = jnp.concatenate([ray_d, jnp.zeros((pad2, 3), ray_d.dtype)], 0)
     R = ray_o.shape[0]
     n_tiles = R // TILE
     o_col = ray_o.reshape(n_tiles, TILE, 3)
@@ -72,12 +83,21 @@ def _prep_bvh(ray_o, ray_d, t_max):
     # robust slab-test reciprocal: near-parallel axes behave as
     # "inside-slab passes, outside misses" (see node test below)
     inv_d = jnp.where(jnp.abs(d_col) > 1e-12, 1.0 / d_col, jnp.float32(1e30))
-    rows = [o_col[:, :, a].reshape(n_tiles, _NROWS, 128) for a in range(3)]
-    rows += [inv_d[:, :, a].reshape(n_tiles, _NROWS, 128) for a in range(3)]
-    rows += [tmax.reshape(n_tiles, _NROWS, 128)]
-    rows += [jnp.zeros((n_tiles, _NROWS, 128), jnp.float32)]
-    rowdata = jnp.concatenate(rows, axis=1)  # (T, 16, 128)
-    return R, R_out, n_tiles, o_col, d_col, tmax[:, :, None], rowdata
+    feat = jnp.concatenate(
+        [o_col, inv_d, tmax[:, :, None], jnp.zeros_like(tmax)[:, :, None]],
+        axis=-1,
+    )  # (T, TILE, 8)
+    # one transpose -> (T, 8, TILE) -> (T, 16, 128) in [c, half] row order
+    rowdata = feat.transpose(0, 2, 1).reshape(n_tiles, 16, 128)
+    # column data channel-major (T, 8, TILE): HBM rows are contiguous
+    # 1 KB runs (a (T,TILE,8) layout is tiled T(8,128) -> every 32 B row
+    # is strided and the per-step DMAs run at ~5% bandwidth); the kernel
+    # transposes each tile's (8,TILE) block back to ray columns once
+    cols = jnp.concatenate(
+        [o_col, d_col, tmax[:, :, None], jnp.zeros_like(tmax)[:, :, None]],
+        axis=-1,
+    ).transpose(0, 2, 1)  # (T, 8, TILE)
+    return R, R_out, n_tiles // TILES_PER_STEP, cols, rowdata
 
 
 def _row_min(t_block):
@@ -86,26 +106,24 @@ def _row_min(t_block):
     return jnp.min(t_block.reshape(_NROWS, 128, 128), axis=-1)
 
 
-def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter):
-    """Build the find_leaf closure over one tile's ray rows.
+def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k):
+    """Build the find_leaf closure over ray tile k's rows.
 
     find_leaf(sp, ub_row, worst) pops the stack until a leaf whose AABB
     some ray enters before its personal upper bound is found. Returns
     (sp, leaf_cluster(-1 when exhausted)). Children are tested per-ray at
     parent pop and pushed far-first with their min entry distance.
     """
-    oxr = row_ref[0, 0:_NROWS, :]
-    oyr = row_ref[0, 2:2 + _NROWS, :]
-    ozr = row_ref[0, 4:4 + _NROWS, :]
-    ixr = row_ref[0, 6:6 + _NROWS, :]
-    iyr = row_ref[0, 8:8 + _NROWS, :]
-    izr = row_ref[0, 10:10 + _NROWS, :]
+    oxr = row_ref[k, 0:_NROWS, :]
+    oyr = row_ref[k, 2:2 + _NROWS, :]
+    ozr = row_ref[k, 4:4 + _NROWS, :]
+    ixr = row_ref[k, 6:6 + _NROWS, :]
+    iyr = row_ref[k, 8:8 + _NROWS, :]
+    izr = row_ref[k, 10:10 + _NROWS, :]
 
     def node_enter(i, ub_row):
         """Per-ray slab test of node i: min entry over passing rays
-        (scalar; _INF when no ray passes). Node arrays are flattened to
-        (1, N*6) / (1, N*3): SMEM tiles are (1, 128), so a (N, 6) array
-        would pad every row to 128 lanes (1.5 MB > the 1 MB SMEM)."""
+        (scalar; _INF when no ray passes)."""
         b = 6 * i
         t0x = (bounds_ref[0, b + 0] - oxr) * ixr
         t1x = (bounds_ref[0, b + 3] - oxr) * ixr
@@ -177,160 +195,231 @@ def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter):
 
 
 def _closest_body(fused):
-    """Kernel body shared by the plain and fused closest-hit variants."""
+    """Kernel body shared by the plain and fused closest-hit variants.
+    Processes TILES_PER_STEP ray tiles per grid step."""
 
-    def kernel(bounds_ref, meta_ref, o_ref, d_ref, tmaxc_ref, row_ref,
-               tris_hbm, *rest):
+    def kernel(bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, *rest):
         if fused:
-            (t_out, tri_out, attr_out, tri_slab, stack_idx, stack_enter,
-             attr_scr, sems) = rest
+            (out, tri_slab, stack_idx, stack_enter, attr_scr, sems) = rest
         else:
-            (t_out, tri_out, u_out, v_out, tri_slab, stack_idx,
-             stack_enter, sems) = rest
+            (out, tri_slab, stack_idx, stack_enter, sems) = rest
 
-        find_leaf = _make_descent(
-            bounds_ref, meta_ref, row_ref, stack_idx, stack_enter
-        )
-        ox = o_ref[0, :, 0:1]
-        oy = o_ref[0, :, 1:2]
-        oz = o_ref[0, :, 2:3]
-        dx = d_ref[0, :, 0:1]
-        dy = d_ref[0, :, 1:2]
-        dz = d_ref[0, :, 2:3]
-        t_min = 1e-4
         lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+        t_min = 1e-4
 
         def get_dma(slot, c):
             return pltpu.make_async_copy(
                 tris_hbm.at[c], tri_slab.at[slot], sems.at[slot]
             )
 
-        # push root
-        stack_idx[0, 0] = jnp.int32(0)
-        stack_enter[0, 0] = jnp.float32(0.0)
-        if fused:
-            attr_scr[...] = jnp.zeros((TILE, 12), jnp.float32)
-
-        best_row0 = row_ref[0, 12:12 + _NROWS, :]  # tmax rows
-        sp0, c0 = find_leaf(jnp.int32(1), best_row0, jnp.max(best_row0))
-
-        @pl.when(c0 >= 0)
-        def _():
-            get_dma(0, c0).start()
-
-        def cond(state):
-            return state[1] >= 0  # a leaf DMA is pending
-
-        def body(state):
-            if fused:
-                k, cur, sp, best_t, best_row, best_tri = state
-            else:
-                k, cur, sp, best_t, best_row, best_tri, best_u, best_v = state
-            # descend to the next leaf while cur's slab is in flight
-            sp, nxt = find_leaf(sp, best_row, jnp.max(best_row))
-
-            @pl.when(nxt >= 0)
-            def _():
-                get_dma(jax.lax.rem(k + 1, 2), nxt).start()
-
-            slot = jax.lax.rem(k, 2)
-            get_dma(slot, cur).wait()
-            slab = tri_slab[slot]
-
-            hit, t, u, v = _moller_block(
-                slab[0:9], ox, oy, oz, dx, dy, dz, t_min, best_t
+        def tile_body(k, _):
+            find_leaf = _make_descent(
+                bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k
             )
-            tmin = jnp.min(t, axis=1, keepdims=True)
-            improved = tmin < best_t
-            is_best = t == tmin
-            j = jnp.min(jnp.where(is_best, lane, 128), axis=1, keepdims=True)
+            colsT = jnp.transpose(cols_ref[k], (1, 0))  # (TILE, 8)
+            ox = colsT[:, 0:1]
+            oy = colsT[:, 1:2]
+            oz = colsT[:, 2:3]
+            dx = colsT[:, 3:4]
+            dy = colsT[:, 4:5]
+            dz = colsT[:, 5:6]
 
-            if fused:
-                @pl.when(jnp.any(improved))
-                def _():
-                    sel = is_best & (lane == j)
-                    selw = sel.astype(jnp.float32)
-                    w_b = 1.0 - u - v
+            # push root
+            stack_idx[0, 0] = jnp.int32(0)
+            stack_enter[0, 0] = jnp.float32(0.0)
 
-                    def interp(r0, r1, r2):
-                        a = (
-                            w_b * slab[r0:r0 + 1, :]
-                            + u * slab[r1:r1 + 1, :]
-                            + v * slab[r2:r2 + 1, :]
+            best_row0 = row_ref[k, 12:12 + _NROWS, :]  # tmax rows
+            sp0, c0 = find_leaf(jnp.int32(1), best_row0, jnp.max(best_row0))
+
+            def run_pipeline():
+                if fused:
+                    attr_scr[...] = jnp.zeros((TILE, 12), jnp.float32)
+
+                def cond(state):
+                    return state[1] >= 0  # a leaf DMA is pending
+
+                def body(state):
+                    if fused:
+                        j_, cur, sp, best_t, best_row, best_tri = state
+                    else:
+                        (j_, cur, sp, best_t, best_row, best_tri, best_u,
+                         best_v) = state
+                    # descend to the next leaf while cur's slab is in flight
+                    sp, nxt = find_leaf(sp, best_row, jnp.max(best_row))
+
+                    @pl.when(nxt >= 0)
+                    def _():
+                        get_dma(jax.lax.rem(j_ + 1, 2), nxt).start()
+
+                    slot = jax.lax.rem(j_, 2)
+                    get_dma(slot, cur).wait()
+                    slab = tri_slab[slot]
+
+                    hit, t, u, v = _moller_block(
+                        slab[0:9], ox, oy, oz, dx, dy, dz, t_min, best_t
+                    )
+                    tmin = jnp.min(t, axis=1, keepdims=True)
+                    improved = tmin < best_t
+                    is_best = t == tmin
+                    j = jnp.min(
+                        jnp.where(is_best, lane, 128), axis=1, keepdims=True
+                    )
+
+                    if fused:
+                        @pl.when(jnp.any(improved))
+                        def _():
+                            sel = is_best & (lane == j)
+                            selw = sel.astype(jnp.float32)
+                            w_b = 1.0 - u - v
+
+                            def interp(r0, r1, r2):
+                                a = (
+                                    w_b * slab[r0:r0 + 1, :]
+                                    + u * slab[r1:r1 + 1, :]
+                                    + v * slab[r2:r2 + 1, :]
+                                )
+                                return jnp.sum(a * selw, axis=1, keepdims=True)
+
+                            attrs = [
+                                interp(9 + c, 12 + c, 15 + c) for c in range(3)
+                            ] + [
+                                interp(18 + c, 22 + c, 26 + c) for c in range(4)
+                            ] + [
+                                interp(30 + c, 32 + c, 34 + c) for c in range(2)
+                            ]
+                            mat_row = jnp.sum(
+                                slab[36:37, :] * selw, axis=1, keepdims=True
+                            )
+                            lod_row = jnp.sum(
+                                slab[37:38, :] * selw, axis=1, keepdims=True
+                            )
+                            new_attr = jnp.concatenate(
+                                attrs
+                                + [
+                                    mat_row,
+                                    lod_row,
+                                    jnp.zeros((TILE, 1), jnp.float32),
+                                ],
+                                axis=1,
+                            )
+                            attr_scr[...] = jnp.where(
+                                improved, new_attr, attr_scr[...]
+                            )
+                    else:
+                        sel = is_best & (lane == j)
+                        u_sel = jnp.sum(
+                            jnp.where(sel, u, 0.0), axis=1, keepdims=True
                         )
-                        return jnp.sum(a * selw, axis=1, keepdims=True)
+                        v_sel = jnp.sum(
+                            jnp.where(sel, v, 0.0), axis=1, keepdims=True
+                        )
+                        best_u = jnp.where(improved, u_sel, best_u)
+                        best_v = jnp.where(improved, v_sel, best_v)
 
-                    attrs = [
-                        interp(9 + c, 12 + c, 15 + c) for c in range(3)
-                    ] + [
-                        interp(18 + c, 22 + c, 26 + c) for c in range(4)
-                    ] + [
-                        interp(30 + c, 32 + c, 34 + c) for c in range(2)
-                    ]
-                    mat_row = jnp.sum(
-                        slab[36:37, :] * selw, axis=1, keepdims=True
+                    best_tri = jnp.where(
+                        improved, cur * CLUSTER_PAD + j, best_tri
                     )
-                    new_attr = jnp.concatenate(
-                        attrs + [mat_row, jnp.zeros((TILE, 2), jnp.float32)],
+                    best_t = jnp.where(improved, tmin, best_t)
+                    best_row = jnp.minimum(best_row, _row_min(t))
+                    if fused:
+                        return (j_ + 1, nxt, sp, best_t, best_row, best_tri)
+                    return (
+                        j_ + 1, nxt, sp, best_t, best_row, best_tri, best_u,
+                        best_v,
+                    )
+
+                init_common = (
+                    jnp.int32(0),
+                    c0,
+                    sp0,
+                    colsT[:, 6:7],
+                    best_row0,
+                    jnp.full((TILE, 1), -1, jnp.int32),
+                )
+                # tri ids ride as exact f32 (< 2^24 triangles; packed
+                # single-output keeps VMEM block count down)
+                if fused:
+                    state = jax.lax.while_loop(cond, body, init_common)
+                    _, _, _, best_t, _, best_tri = state
+                    out[k] = jnp.transpose(
+                        jnp.concatenate(
+                            [
+                                best_t,
+                                best_tri.astype(jnp.float32),
+                                attr_scr[...],
+                                jnp.zeros((TILE, 2), jnp.float32),
+                            ],
+                            axis=1,
+                        ),
+                        (1, 0),
+                    )
+                else:
+                    init = init_common + (
+                        jnp.zeros((TILE, 1), jnp.float32),
+                        jnp.zeros((TILE, 1), jnp.float32),
+                    )
+                    state = jax.lax.while_loop(cond, body, init)
+                    _, _, _, best_t, _, best_tri, best_u, best_v = state
+                    out[k] = jnp.transpose(
+                        jnp.concatenate(
+                            [
+                                best_t,
+                                best_tri.astype(jnp.float32),
+                                best_u,
+                                best_v,
+                                jnp.zeros((TILE, 4), jnp.float32),
+                            ],
+                            axis=1,
+                        ),
+                        (1, 0),
+                    )
+
+            # most tiles in a sparse frame never reach a leaf: write the
+            # miss defaults and skip the whole pipeline (its vector loop
+            # setup costs ~4 us/tile otherwise)
+            @pl.when(c0 < 0)
+            def _():
+                out[k] = jnp.transpose(
+                    jnp.concatenate(
+                        [
+                            colsT[:, 6:7],
+                            jnp.full((TILE, 1), -1.0, jnp.float32),
+                            jnp.zeros(
+                                (TILE, 14 if fused else 6), jnp.float32
+                            ),
+                        ],
                         axis=1,
-                    )
-                    attr_scr[...] = jnp.where(improved, new_attr, attr_scr[...])
-            else:
-                sel = is_best & (lane == j)
-                u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-                v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
-                best_u = jnp.where(improved, u_sel, best_u)
-                best_v = jnp.where(improved, v_sel, best_v)
+                    ),
+                    (1, 0),
+                )
 
-            best_tri = jnp.where(improved, cur * CLUSTER_PAD + j, best_tri)
-            best_t = jnp.where(improved, tmin, best_t)
-            best_row = jnp.minimum(best_row, _row_min(t))
-            if fused:
-                return (k + 1, nxt, sp, best_t, best_row, best_tri)
-            return (k + 1, nxt, sp, best_t, best_row, best_tri, best_u, best_v)
+            @pl.when(c0 >= 0)
+            def _():
+                get_dma(0, c0).start()
+                run_pipeline()
 
-        init_common = (
-            jnp.int32(0),
-            c0,
-            sp0,
-            tmaxc_ref[0],
-            best_row0,
-            jnp.full((TILE, 1), -1, jnp.int32),
-        )
-        if fused:
-            state = jax.lax.while_loop(cond, body, init_common)
-            _, _, _, best_t, _, best_tri = state
-            t_out[0] = best_t
-            tri_out[0] = best_tri
-            attr_out[0] = attr_scr[...]
-        else:
-            init = init_common + (
-                jnp.zeros((TILE, 1), jnp.float32),
-                jnp.zeros((TILE, 1), jnp.float32),
-            )
-            state = jax.lax.while_loop(cond, body, init)
-            _, _, _, best_t, _, best_tri, best_u, best_v = state
-            t_out[0] = best_t
-            tri_out[0] = best_tri
-            u_out[0] = best_u
-            v_out[0] = best_v
+            return 0
+
+        jax.lax.fori_loop(0, TILES_PER_STEP, tile_body, 0)
 
     return kernel
 
 
 def _in_specs():
+    K = TILES_PER_STEP
     return [
-        pl.BlockSpec((1, TILE, 3), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE, 3), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE, 1), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 16, 128), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 8, TILE), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 16, 128), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
 
 
 def _out_block(width=1):
+    # channel-major (K, ch, TILE): lane-dense output rows
     return pl.BlockSpec(
-        (1, TILE, width), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM
+        (TILES_PER_STEP, width, TILE),
+        lambda i, a, b: (i, 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
 
@@ -347,14 +436,12 @@ def trace_closest_bvh(
     """BVH closest-hit; same contract as trace.trace_closest (t_min fixed
     at 1e-4 in-kernel like the round-1 kernels)."""
     del t_min
-    R, R_out, n_tiles, o_col, d_col, tmax_col, rowdata = _prep_bvh(
-        ray_o, ray_d, t_max
-    )
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=_in_specs(),
-        out_specs=[_out_block() for _ in range(4)],
+        out_specs=[_out_block(8)],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
@@ -362,22 +449,20 @@ def trace_closest_bvh(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    t, tri, u, v = pl.pallas_call(
+    n_tiles = n_steps * TILES_PER_STEP
+    (out,) = pl.pallas_call(
         _closest_body(fused=False),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, TILE), jnp.float32),
         ],
-    )(bounds.reshape(1, -1), meta.reshape(1, -1), o_col, d_col,
-      tmax_col, rowdata, tris_packed)
+    )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
+    out = out.transpose(0, 2, 1).reshape(R, 8)[:R_out]
     return {
-        "t": t.reshape(R)[:R_out],
-        "tri": tri.reshape(R)[:R_out],
-        "u": u.reshape(R)[:R_out],
-        "v": v.reshape(R)[:R_out],
+        "t": out[:, 0],
+        "tri": out[:, 1].astype(jnp.int32),
+        "u": out[:, 2],
+        "v": out[:, 3],
     }
 
 
@@ -394,14 +479,12 @@ def trace_closest_bvh_full(
     """BVH closest-hit + fused world-space attribute interpolation; same
     contract as ops/trace_pallas_full.trace_closest_full."""
     del t_min
-    R, R_out, n_tiles, o_col, d_col, tmax_col, rowdata = _prep_bvh(
-        ray_o, ray_d, t_max
-    )
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=_in_specs(),
-        out_specs=[_out_block(), _out_block(), _out_block(12)],
+        out_specs=[_out_block(16)],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS_FULL, 128), jnp.float32),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
@@ -410,90 +493,104 @@ def trace_closest_bvh_full(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    t, tri, attr = pl.pallas_call(
+    n_tiles = n_steps * TILES_PER_STEP
+    (out,) = pl.pallas_call(
         _closest_body(fused=True),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, TILE, 12), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 16, TILE), jnp.float32),
         ],
-    )(bounds.reshape(1, -1), meta.reshape(1, -1), o_col, d_col,
-      tmax_col, rowdata, tris_packed)
-    attr = attr.reshape(R, 12)[:R_out]
+    )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
+    out = out.transpose(0, 2, 1).reshape(R, 16)[:R_out]
     return {
-        "t": t.reshape(R)[:R_out],
-        "tri": tri.reshape(R)[:R_out],
-        "normal": attr[:, 0:3],
-        "tangent": attr[:, 3:7],
-        "uv": attr[:, 7:9],
-        "material": attr[:, 9].astype(jnp.int32),
+        "t": out[:, 0],
+        "tri": out[:, 1].astype(jnp.int32),
+        "normal": out[:, 2:5],
+        "tangent": out[:, 5:9],
+        "uv": out[:, 9:11],
+        "material": out[:, 11].astype(jnp.int32),
+        "tri_lod": out[:, 12],
     }
 
 
-def _any_kernel(bounds_ref, meta_ref, o_ref, d_ref, tmaxc_ref, row_ref,
+def _any_kernel(bounds_ref, meta_ref, cols_ref, row_ref,
                 tris_hbm, occ_out, tri_slab, stack_idx, stack_enter, sems):
-    find_leaf = _make_descent(
-        bounds_ref, meta_ref, row_ref, stack_idx, stack_enter
-    )
-    ox = o_ref[0, :, 0:1]
-    oy = o_ref[0, :, 1:2]
-    oz = o_ref[0, :, 2:3]
-    dx = d_ref[0, :, 0:1]
-    dy = d_ref[0, :, 1:2]
-    dz = d_ref[0, :, 2:3]
-    tmax = tmaxc_ref[0]
     t_min = 0.1  # shadow-ray tMin parity (main.rgen shadow())
-    tmax_row = row_ref[0, 12:12 + _NROWS, :]
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
             tris_hbm.at[c], tri_slab.at[slot], sems.at[slot]
         )
 
-    stack_idx[0, 0] = jnp.int32(0)
-    stack_enter[0, 0] = jnp.float32(0.0)
-    sp0, c0 = find_leaf(jnp.int32(1), tmax_row, jnp.max(tmax_row))
+    def tile_body(k, _):
+        find_leaf = _make_descent(
+            bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k
+        )
+        colsT = jnp.transpose(cols_ref[k], (1, 0))  # (TILE, 8)
+        ox = colsT[:, 0:1]
+        oy = colsT[:, 1:2]
+        oz = colsT[:, 2:3]
+        dx = colsT[:, 3:4]
+        dy = colsT[:, 4:5]
+        dz = colsT[:, 5:6]
+        tmax = colsT[:, 6:7]
+        tmax_row = row_ref[k, 12:12 + _NROWS, :]
 
-    @pl.when(c0 >= 0)
-    def _():
-        get_dma(0, c0).start()
+        stack_idx[0, 0] = jnp.int32(0)
+        stack_enter[0, 0] = jnp.float32(0.0)
+        sp0, c0 = find_leaf(jnp.int32(1), tmax_row, jnp.max(tmax_row))
 
-    def cond(state):
-        return state[1] >= 0
+        def run_pipeline():
+            def cond(state):
+                return state[1] >= 0
 
-    def body(state):
-        k, cur, sp, occ, ub_row = state
-        sp, nxt = find_leaf(sp, ub_row, jnp.max(ub_row))
+            def body(state):
+                j_, cur, sp, occ, ub_row = state
+                sp, nxt = find_leaf(sp, ub_row, jnp.max(ub_row))
 
-        @pl.when(nxt >= 0)
+                @pl.when(nxt >= 0)
+                def _():
+                    get_dma(jax.lax.rem(j_ + 1, 2), nxt).start()
+
+                slot = jax.lax.rem(j_, 2)
+                get_dma(slot, cur).wait()
+                hit, t, _, _ = _moller_block(
+                    tri_slab[slot][0:9], ox, oy, oz, dx, dy, dz, t_min, tmax
+                )
+                occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(
+                    jnp.int32
+                )
+                # occluded rays drop their upper bound to 0 -> they stop
+                # steering the descent; when all rays occlude, worst hits 0
+                # and the stack drains via the stale skip
+                hit_row = jnp.max(
+                    hit.astype(jnp.float32).reshape(_NROWS, 128, 128), axis=-1
+                )
+                ub_row = jnp.where(hit_row > 0.0, 0.0, ub_row)
+                return (j_ + 1, nxt, sp, occ, ub_row)
+
+            init = (
+                jnp.int32(0),
+                c0,
+                sp0,
+                jnp.zeros((TILE, 1), jnp.int32),
+                tmax_row,
+            )
+            _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
+            occ_out[k] = jnp.transpose(occ, (1, 0))
+
+        @pl.when(c0 < 0)
         def _():
-            get_dma(jax.lax.rem(k + 1, 2), nxt).start()
+            occ_out[k] = jnp.zeros((1, TILE), jnp.int32)
 
-        slot = jax.lax.rem(k, 2)
-        get_dma(slot, cur).wait()
-        hit, t, _, _ = _moller_block(
-            tri_slab[slot][0:9], ox, oy, oz, dx, dy, dz, t_min, tmax
-        )
-        occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
-        # occluded rays drop their upper bound to 0 -> they stop steering
-        # the descent; when all rays occlude, worst hits 0 and the stack
-        # drains via the stale skip
-        hit_row = jnp.max(
-            hit.astype(jnp.float32).reshape(_NROWS, 128, 128), axis=-1
-        )
-        ub_row = jnp.where(hit_row > 0.0, 0.0, ub_row)
-        return (k + 1, nxt, sp, occ, ub_row)
+        @pl.when(c0 >= 0)
+        def _():
+            get_dma(0, c0).start()
+            run_pipeline()
 
-    init = (
-        jnp.int32(0),
-        c0,
-        sp0,
-        jnp.zeros((TILE, 1), jnp.int32),
-        tmax_row,
-    )
-    _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
-    occ_out[0] = occ
+        return 0
+
+    jax.lax.fori_loop(0, TILES_PER_STEP, tile_body, 0)
 
 
 @jax.jit
@@ -508,12 +605,10 @@ def trace_any_bvh(
 ):
     """BVH any-hit (shadow rays): occluded mask, per-ray termination."""
     del t_min
-    R, R_out, n_tiles, o_col, d_col, tmax_col, rowdata = _prep_bvh(
-        ray_o, ray_d, t_max
-    )
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=_in_specs(),
         out_specs=[_out_block()],
         scratch_shapes=[
@@ -523,10 +618,10 @@ def trace_any_bvh(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    n_tiles = n_steps * TILES_PER_STEP
     (occ,) = pl.pallas_call(
         _any_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_tiles, TILE, 1), jnp.int32)],
-    )(bounds.reshape(1, -1), meta.reshape(1, -1), o_col, d_col,
-      tmax_col, rowdata, tris_packed)
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.int32)],
+    )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
     return (occ.reshape(R) > 0)[:R_out]

@@ -78,14 +78,26 @@ def pack_tris_full(static_scene: dict, frame: dict) -> jnp.ndarray:
 
     mat = static_scene["wt_material"].astype(jnp.float32)[:, None]
 
+    # per-triangle ray-cone LOD constant: 0.5*log2(uv_area/world_area)
+    # (uv-texel density; world-space so instance scaling is included)
+    e1w, e2w = p1 - p0, p2 - p0
+    w_area = jnp.linalg.norm(jnp.cross(e1w, e2w), axis=-1)
+    uve1 = a1[:, 7:9] - a0[:, 7:9]
+    uve2 = a2[:, 7:9] - a0[:, 7:9]
+    uv_area = jnp.abs(uve1[:, 0] * uve2[:, 1] - uve1[:, 1] * uve2[:, 0])
+    tri_lod = 0.5 * jnp.log2(
+        jnp.maximum(uv_area, 1e-20) / jnp.maximum(w_area, 1e-20)
+    )[:, None]
+
     rows = jnp.concatenate(
         [
-            p0, p1 - p0, p2 - p0,            # 0-8
+            p0, e1w, e2w,                    # 0-8
             n0, n1, n2,                      # 9-17
             t0, t1, t2,                      # 18-29
             a0[:, 7:9], a1[:, 7:9], a2[:, 7:9],  # 30-35
             mat,                             # 36
-            jnp.zeros((mat.shape[0], 3), jnp.float32),  # 37-39
+            tri_lod,                         # 37
+            jnp.zeros((mat.shape[0], 2), jnp.float32),  # 38-39
         ],
         axis=1,
     )  # (S, 40)
@@ -190,8 +202,10 @@ def _kernel(
                 interp(30 + c, 32 + c, 34 + c) for c in range(2)  # uv
             ]
             mat_row = jnp.sum(slab[36:37, :] * selw, axis=1, keepdims=True)
+            lod_row = jnp.sum(slab[37:38, :] * selw, axis=1, keepdims=True)
             new_attr = jnp.concatenate(
-                attrs + [mat_row, jnp.zeros((TILE, 2), jnp.float32)], axis=1
+                attrs + [mat_row, lod_row, jnp.zeros((TILE, 1), jnp.float32)],
+                axis=1,
             )  # (TILE, 12)
             attr_scr[...] = jnp.where(improved, new_attr, attr_scr[...])
 
@@ -304,4 +318,5 @@ def trace_closest_full(
         "tangent": attr[:, 3:7],
         "uv": attr[:, 7:9],
         "material": attr[:, 9].astype(jnp.int32),
+        "tri_lod": attr[:, 10],
     }

@@ -85,7 +85,8 @@ def shade_deferred(
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "use_taa", "use_bloom", "use_dof", "use_culling"
+        "width", "height", "use_taa", "use_bloom", "use_dof", "use_culling",
+        "use_transparent", "use_particles", "bloom_technique",
     ),
 )
 def render_deferred(
@@ -105,17 +106,24 @@ def render_deferred(
     ibl_data: dict | None = None,
     use_culling: bool = False,
     prev_hiz: list | None = None,
+    use_transparent: bool = False,
+    use_particles: bool = False,
+    bloom_technique: str = "multi_res",
+    bloom_kernel: jnp.ndarray | None = None,
+    particle_state: dict | None = None,
 ):
     """Deferred frame + optional post chain, in the reference's pass order
-    (Renderer.cpp:516-584): bloom -> TAA -> DoF -> tone map.
+    (Renderer.cpp:485-584): skybox -> transparent -> bloom -> particles ->
+    TAA -> DoF -> tone map.
 
-    Returns (display image, new TAA history or None).
+    Returns (display image, aux dict: taa_history, particles, depth).
     """
     from .gbuffer import render_gbuffer
 
     gbuf = render_gbuffer(
         static_scene, frame, arena, cam, width, height,
         use_culling=use_culling, prev_hiz=prev_hiz,
+        lod_bias=-1.0 if use_taa else 0.0,
     )
     clusters = (
         None
@@ -142,10 +150,36 @@ def render_deferred(
         valid = gbuf["valid"].reshape(height, width, 1)
         hdr = jnp.where(valid, hdr, sky)
 
-    if use_bloom:
-        from ..ops.bloom import bloom_multi_res
+    if use_transparent:
+        # ForwardRenderer::recordTransparent slot (Renderer.cpp:494-500)
+        from .transparent import transparent_pass
 
-        hdr = bloom_multi_res(hdr)
+        hdr = transparent_pass(
+            static_scene, frame, arena, cam, hdr, gbuf["z_cam"],
+            width, height, ibl_data,
+        )
+
+    if use_bloom:
+        if bloom_technique == "fft":
+            from ..ops.bloom import bloom_fft
+
+            hdr = bloom_fft(hdr, kernel_image=bloom_kernel)
+        else:
+            from ..ops.bloom import bloom_multi_res
+
+            hdr = bloom_multi_res(hdr)
+
+    new_particles = None
+    if use_particles:
+        # Particles draw pre-TAA (Renderer.cpp:531-538): emitters were
+        # spawned from lights at init (deferred_entry); one simulate step
+        # then depth-tested dithered splats
+        from ..ops.particles import render_particles, simulate
+
+        st = simulate(particle_state, 1.0 / 60.0, 0)
+        depth_img = gbuf["depth"].reshape(height, width)
+        hdr = render_particles(st, hdr, depth_img, cam)
+        new_particles = st
 
     new_history = None
     if use_taa:
@@ -164,7 +198,12 @@ def render_deferred(
         hdr = depth_of_field(hdr, view_depth, cam)
 
     img = tone_map(hdr, lut, exposure, contrast)
-    return img, new_history
+    aux = {
+        "taa_history": new_history,
+        "particles": new_particles,
+        "depth": gbuf["depth"].reshape(height, width),
+    }
+    return img, aux
 
 
 def deferred_entry(
@@ -182,9 +221,47 @@ def deferred_entry(
     use_taa=False,
     use_bloom=False,
     use_dof=False,
+    use_transparent=False,
+    use_particles=False,
+    bloom_technique="multi_res",
     **kwargs,
 ):
-    img, history = render_deferred(
+    """CLI-facing deferred mode. `state` is a dict FrameState pytree
+    (the preserve()d resources of the reference): taa_history, particles,
+    bloom_kernel (FFT kernel image cached across frames, Bloom.hpp's
+    releasePreserved), depth (for frame-late autofocus readback)."""
+    state = dict(state) if state else {}
+
+    particles = state.get("particles")
+    if use_particles and particles is None:
+        # Init pass: spawn emitters from the scene's point lights
+        # (particles/init.comp analog), once like the reference
+        import jax.numpy as _jnp
+
+        from ..ops.particles import init_state, spawn_emitters
+
+        lights = frame["lights"]
+        n = int(lights["point_count"])
+        if n == 0:
+            pos = _jnp.zeros((1, 3), _jnp.float32)
+            nrm = _jnp.array([[0.0, 1.0, 0.0]], _jnp.float32)
+        else:
+            pos = lights["point_position"][:n]
+            nrm = _jnp.broadcast_to(
+                _jnp.array([0.0, 1.0, 0.0], _jnp.float32), (n, 3)
+            )
+        particles = spawn_emitters(init_state(), pos, nrm)
+
+    bloom_kernel = state.get("bloom_kernel")
+    if use_bloom and bloom_technique == "fft" and bloom_kernel is None:
+        from ..ops.bloom import generate_kernel
+
+        # kernel dim matches bloom_fft's half-res FFT extent
+        half = max((height + 1) // 2, (width + 1) // 2, 1)
+        dim = 1 << (half - 1).bit_length()
+        bloom_kernel = generate_kernel(dim)
+
+    img, aux = render_deferred(
         static,
         frame,
         arena,
@@ -197,8 +274,19 @@ def deferred_entry(
         use_taa,
         use_bloom,
         use_dof,
-        taa_history=state,
+        taa_history=state.get("taa_history"),
         ibl_data=kwargs.get("ibl_data"),
         use_culling=kwargs.get("use_culling", False),
+        use_transparent=use_transparent,
+        use_particles=use_particles,
+        bloom_technique=bloom_technique,
+        bloom_kernel=bloom_kernel,
+        particle_state=particles,
     )
-    return img, history
+    new_state = {
+        "taa_history": aux["taa_history"],
+        "particles": aux["particles"],
+        "bloom_kernel": bloom_kernel,
+        "depth": aux["depth"],
+    }
+    return img, new_state

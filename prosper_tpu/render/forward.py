@@ -70,7 +70,10 @@ def eval_all_lights(surface: dict, lights: dict) -> jnp.ndarray:
     return color
 
 
-@partial(jax.jit, static_argnames=("width", "height", "draw_type"))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "draw_type", "use_transparent"),
+)
 def render_forward(
     static_scene: dict,
     frame: dict,
@@ -82,6 +85,7 @@ def render_forward(
     exposure: float = 1.0,
     contrast: float = 1.0,
     draw_type: int = 0,
+    use_transparent: bool = False,
 ):
     """One forward frame -> (H, W, 3) display-encoded image."""
     # pixel-center rays (no jitter for the still-frame golden), traced
@@ -97,18 +101,36 @@ def render_forward(
     o, d = pinhole_rays(cam, uv)
 
     tris = trace.world_triangles(static_scene, frame)
-    closest_fn, _ = trace.make_tracer(
-        tris,
-        frame["wc_aabb_min_w"],
-        frame["wc_aabb_max_w"],
-        bvh=trace.frame_bvh(frame),
-    )
+    if use_transparent:
+        # opaque pass excludes blend-material clusters (the draw list's
+        # alphaMode filter, draw_list_generator.comp:53-60)
+        from .gbuffer import _masked_aabbs
+        from .transparent import blend_cluster_mask
+
+        mn, mx = _masked_aabbs(
+            frame["wc_aabb_min_w"],
+            frame["wc_aabb_max_w"],
+            ~blend_cluster_mask(static_scene),
+        )
+        closest_fn, _ = trace.make_tracer(tris, mn, mx)
+    else:
+        closest_fn, _ = trace.make_tracer(
+            tris,
+            frame["wc_aabb_min_w"],
+            frame["wc_aabb_max_w"],
+            bvh=trace.frame_bvh(frame),
+        )
     hit = closest_fn(o, d, 1e-4, jnp.inf)
     inv = jnp.asarray(inv_np)
     hit = {k: v[inv] for k, v in hit.items()}
     o = o[inv]
     d = d[inv]
-    surface = evaluate_surface(static_scene, frame, arena, o, d, hit)
+    from .surface import pixel_cone_alpha
+
+    cone = {"alpha": pixel_cone_alpha(cam, height), "bias": 0.0}
+    surface = evaluate_surface(
+        static_scene, frame, arena, o, d, hit, cone=cone
+    )
     if draw_type != 0:
         # debug AOV path (commonDebugDraw): raw values, no tone map
         from .debug import DrawType, debug_color
@@ -118,5 +140,19 @@ def render_forward(
         return jnp.clip(dbg.reshape(height, width, 3), 0.0, 1.0)
     color = eval_all_lights(surface, frame["lights"])
     color = jnp.where(surface["valid"][..., None], color, 0.0)
-    img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
+    hdr = color.reshape(height, width, 3)
+    if use_transparent:
+        # recordTransparent slot after opaque (Renderer.cpp:494-500)
+        from .transparent import transparent_pass
+
+        w2c = cam["world_to_camera"]
+        z_cam = jnp.where(
+            surface["valid"],
+            surface["position_ws"] @ w2c[2, :3] + w2c[2, 3],
+            -jnp.inf,
+        )
+        hdr = transparent_pass(
+            static_scene, frame, arena, cam, hdr, z_cam, width, height
+        )
+    img = tone_map(hdr, lut, exposure, contrast)
     return img

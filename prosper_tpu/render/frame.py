@@ -26,11 +26,12 @@ def _forward_entry(
     contrast=1.0,
     state=None,
     draw_type=0,
+    use_transparent=False,
     **_,
 ):
     img = render_forward(
         static, frame, arena, cam, lut, width, height, exposure, contrast,
-        draw_type,
+        draw_type, use_transparent,
     )
     return img, state
 

@@ -41,6 +41,7 @@ def render_gbuffer(
     height: int,
     use_culling: bool = False,
     prev_hiz: list | None = None,
+    lod_bias: float = 0.0,
 ):
     """Trace primary rays and produce the G-buffer pytree (flat R = W*H).
 
@@ -163,12 +164,19 @@ def render_gbuffer(
     hit = {k: v[inv] for k, v in hit.items()}
     o = o[inv]
     d = d[inv]
+    # ray-cone mip selection: the raster path's derivative LOD analog,
+    # lodBias -1 under TAA (Renderer.cpp:709-715)
+    from .surface import pixel_cone_alpha
+
+    cone = {"alpha": pixel_cone_alpha(cam, height), "bias": lod_bias}
     if use_full:
         from .surface import evaluate_surface_from_attrs
 
-        surface = evaluate_surface_from_attrs(arena, o, d, hit)
+        surface = evaluate_surface_from_attrs(arena, o, d, hit, cone=cone)
     else:
-        surface = evaluate_surface(static_scene, frame, arena, o, d, hit)
+        surface = evaluate_surface(
+            static_scene, frame, arena, o, d, hit, cone=cone
+        )
     valid = surface["valid"]
 
     pos = surface["position_ws"]

@@ -25,15 +25,34 @@ def mapped_normal(normal_ts, n, t, sgn):
     )
 
 
+def pixel_cone_alpha(cam: dict, height: int):
+    """Per-pixel ray-cone spread angle: 2*tan(fov/2)/height."""
+    return 2.0 / (jnp.abs(cam["camera_to_clip"][1, 1]) * height)
+
+
+def cone_lod(hit: dict, ray_d, n_ws, cone: dict):
+    """Ray-cone texture LOD (the raster path's derivative mip analog):
+    footprint = t * pixel spread / |cos theta|; per-triangle uv density
+    rides in hit["tri_lod"] (0.5*log2(uv_area/world_area), packed by
+    pack_tris_full). cone = {"alpha": pixel spread, "bias": lodBias
+    (-1 under TAA, Renderer.cpp:709-715)}."""
+    cosd = jnp.abs(jnp.sum(ray_d * n_ws, axis=-1))
+    t_hit = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
+    width = jnp.maximum(t_hit, 1e-6) * cone["alpha"] / jnp.maximum(cosd, 0.05)
+    return hit["tri_lod"] + jnp.log2(width) + cone.get("bias", 0.0)
+
+
 def evaluate_surface_from_attrs(
     arena: dict,
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
     hit: dict,
+    cone: dict | None = None,
 ):
     """VisibleSurface from the fused hit kernel's interpolated attributes
     (ops/trace_pallas_full.py): zero vertex/instance gathers — only the
-    material row + texture quad fetches remain."""
+    material row + texture quad fetches remain. cone enables ray-cone
+    mip selection (see cone_lod)."""
     from ..ops.texture import sample_material_packed
 
     n_ws = _normalize(hit["normal"])
@@ -43,7 +62,10 @@ def evaluate_surface_from_attrs(
     material = hit["material"]
     position = ray_o + hit["t"][..., None] * ray_d
 
-    mat = sample_material_packed(arena, material, uv)
+    lod = None
+    if cone is not None and "tri_lod" in hit:
+        lod = cone_lod(hit, ray_d, n_ws, cone)
+    mat = sample_material_packed(arena, material, uv, lod)
     has_map = (mat["normal_ts"][..., 0] != -2.0) & (t_sign != 0.0)
     n_mapped = mapped_normal(mat["normal_ts"], n_ws, t_ws, t_sign)
     normal_ws = jnp.where(has_map[..., None], n_mapped, n_ws)
@@ -74,6 +96,7 @@ def evaluate_surface(
     ray_d: jnp.ndarray,
     hit: dict,
     lod=None,
+    cone: dict | None = None,
 ):
     """Gather/interpolate vertex attributes at hits and sample materials.
 
@@ -115,12 +138,35 @@ def evaluate_surface(
     position = ray_o + hit["t"][..., None] * ray_d
 
     material = static_scene["wt_material"][tri]
-    if lod is None and "mat_f32" in arena:
+    if cone is not None and lod is None:
+        # ray-cone LOD from gathered geometry (the fused-kernel path
+        # packs tri_lod instead; see cone_lod)
+        p0 = static_scene["wt_p0"][tri]
+        p1 = static_scene["wt_p1"][tri]
+        p2 = static_scene["wt_p2"][tri]
+        e1w = jnp.einsum("...ij,...j->...i", m[..., :3], p1 - p0)
+        e2w = jnp.einsum("...ij,...j->...i", m[..., :3], p2 - p0)
+        w_area = jnp.linalg.norm(jnp.cross(e1w, e2w), axis=-1)
+        uve1 = a1[..., 7:9] - a0[..., 7:9]
+        uve2 = a2[..., 7:9] - a0[..., 7:9]
+        uv_area = jnp.abs(
+            uve1[..., 0] * uve2[..., 1] - uve1[..., 1] * uve2[..., 0]
+        )
+        tri_lod = 0.5 * jnp.log2(
+            jnp.maximum(uv_area, 1e-20) / jnp.maximum(w_area, 1e-20)
+        )
+        lod = cone_lod(
+            {"tri_lod": tri_lod, "t": hit["t"]}, ray_d, n_ws, cone
+        )
+    if "mat_f32" in arena:
         from ..ops.texture import sample_material_packed
 
-        mat = sample_material_packed(arena, material, uv)
+        mat = sample_material_packed(arena, material, uv, lod)
     else:
-        mat = sample_material(arena, static_scene["materials"], material, uv, lod)
+        mat = sample_material(
+            arena, static_scene["materials"], material, uv, lod,
+            footprint=cone is not None,
+        )
 
     # normal mapping when a normal texture and a real tangent exist
     has_map = (mat["normal_ts"][..., 0] != -2.0) & (t_sign != 0.0)

@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-MESH_CACHE_VERSION = 1
+MESH_CACHE_VERSION = 2  # v2: MikkTSpace-algorithm tangents
 TEXTURE_CACHE_VERSION = 1
 
 

@@ -55,6 +55,7 @@ def _load():
     ]
     lib.smooth_normals.argtypes = [f32p, u64, u32p, u64, f32p]
     lib.lengyel_tangents.argtypes = [f32p, f32p, f32p, u64, u32p, u64, f32p]
+    lib.mikktspace_tangents.argtypes = [f32p, f32p, f32p, u64, u32p, u64, f32p]
     _LIB = lib
     return _LIB
 
@@ -173,4 +174,91 @@ def lengyel_tangents(
         positions, normals, uvs, len(positions), tris.reshape(-1), len(tris),
         out.reshape(-1),
     )
+    return out
+
+
+def mikktspace_tangents(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    tris: np.ndarray,
+) -> np.ndarray:
+    """(V, 4) MikkTSpace-algorithm tangents + handedness.
+
+    Port of the algorithm the reference's generateTangents runs through
+    the real MikkTSpace library (DeferredLoadingContext.cpp:266-338):
+    per-face dP/du tangents, projected onto the vertex normal plane and
+    normalized per corner, angle-weighted, welded by exact
+    (position, normal, uv) with mirrored wedges in separate groups.
+    """
+    lib = _load()
+    positions = np.ascontiguousarray(positions, np.float32)
+    normals = np.ascontiguousarray(normals, np.float32)
+    uvs = np.ascontiguousarray(uvs, np.float32)
+    tris = np.ascontiguousarray(tris, np.uint32)
+    if lib is not None:
+        out = np.empty((len(positions), 4), np.float32)
+        lib.mikktspace_tangents(
+            positions, normals, uvs, len(positions), tris.reshape(-1),
+            len(tris), out.reshape(-1),
+        )
+        return out
+
+    # numpy fallback: same algorithm, vectorised
+    V = len(positions)
+    key = np.concatenate([positions, normals, uvs], axis=1)
+    _, canon = np.unique(
+        key.view([("", np.float32)] * 8), return_inverse=True, axis=0
+    )
+    canon = canon.reshape(-1)
+
+    p0, p1, p2 = (positions[tris[:, i]].astype(np.float64) for i in range(3))
+    w0, w1, w2 = (uvs[tris[:, i]].astype(np.float64) for i in range(3))
+    e1, e2 = p1 - p0, p2 - p0
+    x1, x2 = w1[:, 0] - w0[:, 0], w2[:, 0] - w0[:, 0]
+    y1, y2 = w1[:, 1] - w0[:, 1], w2[:, 1] - w0[:, 1]
+    det = x1 * y2 - x2 * y1
+    ok = np.abs(det) > 1e-12
+    inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+    tface = (e1 * y2[:, None] - e2 * y1[:, None]) * inv
+    orient = (det < 0).astype(np.int64)
+
+    acc = np.zeros((2 * V, 3), np.float64)
+    wsum = np.zeros(2 * V, np.float64)
+    pts = [p0, p1, p2]
+    for c in range(3):
+        n = normals[tris[:, c]].astype(np.float64)
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
+        tp = tface - n * np.sum(n * tface, axis=1, keepdims=True)
+        tl = np.linalg.norm(tp, axis=1, keepdims=True)
+        good = ok & (tl[:, 0] > 1e-20)
+        tp = np.where(good[:, None], tp / np.maximum(tl, 1e-20), 0.0)
+        ea = pts[(c + 1) % 3] - pts[c]
+        eb = pts[(c + 2) % 3] - pts[c]
+        na = ea / np.maximum(np.linalg.norm(ea, axis=1, keepdims=True), 1e-20)
+        nb = eb / np.maximum(np.linalg.norm(eb, axis=1, keepdims=True), 1e-20)
+        ang = np.arccos(np.clip(np.sum(na * nb, axis=1), -1.0, 1.0))
+        g = 2 * canon[tris[:, c]] + orient
+        np.add.at(acc, g, tp * np.where(good, ang, 0.0)[:, None])
+        np.add.at(wsum, g, np.where(good, ang, 0.0))
+
+    out = np.empty((V, 4), np.float32)
+    n = normals.astype(np.float64)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
+    g0 = 2 * canon
+    use1 = wsum[g0 + 1] > wsum[g0]
+    g = g0 + use1.astype(np.int64)
+    tsum = acc[g]
+    tp = tsum - n * np.sum(n * tsum, axis=1, keepdims=True)
+    tl = np.linalg.norm(tp, axis=1, keepdims=True)
+    bad = (wsum[g] <= 0.0) | (tl[:, 0] < 1e-20)
+    ref = np.where(
+        np.abs(n[:, 1:2]) < 0.99, np.array([[0.0, 1, 0]]), np.array([[1.0, 0, 0]])
+    )
+    fb = np.cross(ref, n)
+    fb /= np.maximum(np.linalg.norm(fb, axis=1, keepdims=True), 1e-20)
+    t = np.where(bad[:, None], fb, tp / np.maximum(tl, 1e-20))
+    sign = np.where(bad, 1.0, np.where(use1, -1.0, 1.0))
+    out[:, :3] = t.astype(np.float32)
+    out[:, 3] = sign.astype(np.float32)
     return out

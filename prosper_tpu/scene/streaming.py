@@ -36,8 +36,8 @@ class LoadedMesh:
 @dataclass
 class LoadedTexture:
     image_index: int
-    mips: list[np.ndarray]
-    srgb: bool
+    offset: int  # quad-arena row offset of the texture's mip chain
+    chunk: np.ndarray  # (rows, 4) u32 packed quads, all mips contiguous
 
 
 class StreamingContext:

@@ -230,3 +230,129 @@ def build_texture_arena(
         table=table,
         n_mips=n_mips,
     )
+
+
+def image_dims(doc: GltfDocument, index: int, max_dim: int | None):
+    """(h, w) an image will decode to, WITHOUT decoding pixel data
+    (PIL header read), replicating decode_image's max_dim rescale.
+    Missing files fall back to the 1px neutral."""
+    import os
+
+    from PIL import Image
+
+    img_spec = doc.images[index]
+    try:
+        if img_spec.uri is not None:
+            path = os.path.join(doc.base_dir, img_spec.uri)
+            if not os.path.exists(path):
+                return 1, 1
+            with Image.open(path) as im:
+                w, h = im.size
+        elif img_spec.data is not None:
+            with Image.open(io.BytesIO(img_spec.data)) as im:
+                w, h = im.size
+        else:
+            return 1, 1
+    except Exception:
+        return 1, 1
+    if max_dim is not None and max(w, h) > max_dim:
+        scale = max_dim / max(h, w)
+        w, h = max(int(w * scale), 1), max(int(h * scale), 1)
+    return h, w
+
+
+def _predicted_mip_dims(h: int, w: int) -> list[tuple[int, int]]:
+    """Mip chain dims generate_mips will produce (sequential halving
+    until the min dim reaches 1), capped at MAX_MIPS."""
+    dims = [(h, w)]
+    while min(h, w) > 1 and len(dims) < MAX_MIPS:
+        h, w = max(h // 2, 1), max(w // 2, 1)
+        dims.append((h, w))
+    return dims
+
+
+def build_streaming_arena(
+    doc: GltfDocument,
+    max_dim: int | None = None,
+    scene_path: str | None = None,
+):
+    """Streaming-texture arena: final layout from image HEADERS only,
+    contents initialized to the neutral color; returns (arena, jobs)
+    where each job decodes+mips one image off-thread and yields a
+    LoadedTexture whose packed quads the poller writes over the neutral
+    region (DeferredLoadingContext::loadNextTexture + per-frame adoption,
+    /root/reference/src/scene/DeferredLoadingContext.cpp:929-1029)."""
+    from .streaming import LoadedTexture
+
+    color_spaces = doc.image_color_spaces()
+    n_tex = len(doc.images) + 1
+    table = np.zeros((n_tex, MAX_MIPS, 4), np.int32)
+    n_mips = np.zeros(n_tex, np.int32)
+
+    offset = 0
+    spans: list[tuple[int, int, np.ndarray]] = []  # (offset, rows, fill)
+
+    def layout(slot: int, h: int, w: int, srgb: bool, fill_rgba: np.ndarray):
+        nonlocal offset
+        dims = _predicted_mip_dims(h, w)
+        n_mips[slot] = len(dims)
+        start = offset
+        for m, (mh, mw) in enumerate(dims):
+            table[slot, m] = (offset, mw, mh, 1 if srgb else 0)
+            offset += mh * mw
+        for m in range(len(dims), MAX_MIPS):
+            table[slot, m] = table[slot, len(dims) - 1]
+        fill = pack_rgba8(fill_rgba.reshape(1, 1, 4))[0]
+        spans.append((start, offset - start, fill))
+        return start
+
+    white = np.full(4, 255, np.uint8)
+    layout(0, 1, 1, False, white)
+    starts = []
+    for i in range(len(doc.images)):
+        h, w = image_dims(doc, i, max_dim)
+        srgb = color_spaces[i] == "srgb"
+        starts.append(layout(i + 1, h, w, srgb, neutral_image(doc, i)[0, 0]))
+
+    data = np.empty((offset, 4), np.uint32)
+    for start, rows, fill in spans:
+        data[start : start + rows] = fill
+
+    # default slot gets its real (white) content immediately
+    data[0:1] = pack_rgba8_quads(np.full((1, 1, 4), 255, np.uint8))
+
+    def make_job(i: int, start: int):
+        def job():
+            srgb = color_spaces[i] == "srgb"
+            mips = image_mips_cached(
+                doc, i, max_dim, srgb, neutral_image(doc, i), scene_path
+            )
+            chunk = np.concatenate(
+                [pack_rgba8_quads(m) for m in mips]
+            ).astype(np.uint32)
+            return LoadedTexture(image_index=i, offset=start, chunk=chunk)
+
+        return job
+
+    jobs = [make_job(i, starts[i]) for i in range(len(doc.images))]
+    arena = TextureArena(data=data, table=table, n_mips=n_mips)
+    return arena, jobs
+
+
+_arena_write_jit = None
+
+
+def arena_write(data, chunk, offset):
+    """Adopt a streamed texture on device: write its packed quads over
+    the neutral region. Donation keeps the update in place (no full-arena
+    copy); one compile per distinct chunk shape (texture size class)."""
+    global _arena_write_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _arena_write_jit is None:
+        _arena_write_jit = jax.jit(
+            lambda d, c, o: jax.lax.dynamic_update_slice(d, c, (o, 0)),
+            donate_argnums=(0,),
+        )
+    return _arena_write_jit(data, jnp.asarray(chunk), jnp.int32(offset))

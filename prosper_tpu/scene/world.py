@@ -162,9 +162,9 @@ def _process_prim(prim) -> dict:
     if prim.tangents is not None:
         tangents = prim.tangents
     elif prim.uv0 is not None:
-        # UV-space tangents (the MikkTSpace generation stage,
-        # DeferredLoadingContext generateTangents analog)
-        tangents = native.lengyel_tangents(
+        # MikkTSpace-algorithm tangents (the generateTangents stage,
+        # DeferredLoadingContext.cpp:266-338)
+        tangents = native.mikktspace_tangents(
             prim.positions, normals.astype(np.float32), prim.uv0, tris
         )
     else:
@@ -238,6 +238,7 @@ class World:
 
         self.streaming = streaming
         self._streaming_ctx = None
+        self._adopted_textures = []
         self.streaming_dirty = False
         self._use_cache = use_cache
         self.meshes: list[MeshData] = []
@@ -522,9 +523,11 @@ class World:
     # ------------------------------------------------------------------
     # Asset streaming (DeferredLoadingContext analog)
 
-    def start_streaming(self) -> None:
+    def start_streaming(self, texture_jobs=None) -> None:
         """Launch the background loading worker (first-frame
-        World::startFrame behavior)."""
+        World::startFrame behavior). texture_jobs stream textures after
+        meshes (loadNextTexture order; build via
+        textures.build_streaming_arena)."""
         if not self.streaming or self._streaming_ctx is not None:
             return
         from .caches import load_mesh_cache, mesh_cache_path, save_mesh_cache
@@ -550,17 +553,30 @@ class World:
             return job
 
         jobs = [make_job(*ref) for ref in self._prim_refs]
-        self._streaming_ctx = StreamingContext(jobs, [])
+        self._streaming_ctx = StreamingContext(jobs, texture_jobs or [])
         self._streaming_ctx.start()
+        self._adopted_textures = []
+
+    def take_adopted_textures(self) -> list:
+        """LoadedTexture items adopted by the last poll_streaming (the
+        pollTextureWorker handoff); caller streams them into the arena."""
+        out = self._adopted_textures
+        self._adopted_textures = []
+        return out
 
     def poll_streaming(self, budget: int | None = None) -> int:
-        """Adopt finished meshes into the arenas (pollMeshWorker). Returns
-        the number adopted; sets streaming_dirty when arenas changed."""
+        """Adopt finished meshes into the arenas (pollMeshWorker) and
+        queue finished textures for take_adopted_textures. Returns the
+        number adopted; sets streaming_dirty when mesh arenas changed."""
         if self._streaming_ctx is None:
             return 0
-        from .streaming import MAX_ADOPTIONS_PER_FRAME
+        from .streaming import LoadedTexture, MAX_ADOPTIONS_PER_FRAME
 
-        adopted = self._streaming_ctx.poll(budget or MAX_ADOPTIONS_PER_FRAME)
+        polled = self._streaming_ctx.poll(budget or MAX_ADOPTIONS_PER_FRAME)
+        n_polled = len(polled)
+        textures = [i for i in polled if isinstance(i, LoadedTexture)]
+        self._adopted_textures.extend(textures)
+        adopted = [i for i in polled if not isinstance(i, LoadedTexture)]
         from .meshlets import CLUSTER_TRI_PAD as pad
 
         for item in adopted:
@@ -593,7 +609,7 @@ class World:
                     self.wc_tri_count[cg] = cnt
         if adopted:
             self.streaming_dirty = True
-        return len(adopted)
+        return n_polled
 
     @property
     def streaming_done(self) -> bool:

@@ -30,6 +30,7 @@ def timed(fn, force, n=3):
 
 
 def main():
+    phases = set(sys.argv[1:]) or {"closest", "any", "bounce"}
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +40,7 @@ def main():
     from prosper_tpu.ops.rays import pinhole_rays
     from prosper_tpu.scene.world import World
 
-    print("backend:", jax.default_backend(), jax.devices())
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
     world = World(SCENE)
     frame = world.frame_arrays(0.0)
     static = {
@@ -54,11 +55,11 @@ def main():
     }
     wc_min = frame_dev["wc_aabb_min_w"]
     wc_max = frame_dev["wc_aabb_max_w"]
-    print("clusters:", wc_min.shape[0])
+    print("clusters:", wc_min.shape[0], flush=True)
 
     bvh = build_bvh(frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], max_leaf_size=1)
     bounds_np, meta_np = pack_nodes(bvh)
-    print("bvh nodes:", len(bounds_np), "depth:", bvh.depth)
+    print("bvh nodes:", len(bounds_np), "depth:", bvh.depth, flush=True)
     bounds = jnp.asarray(bounds_np)
     meta = jnp.asarray(meta_np)
 
@@ -79,34 +80,37 @@ def main():
     packed40 = jax.block_until_ready(pack_tris_full(static, frame_dev))
 
     R = ray_o.shape[0]
-    print(f"rays: {R/1e6:.2f}M")
+    print(f"rays: {R/1e6:.2f}M", flush=True)
 
     # ---- closest full: old vs new ----
+    if "closest" not in phases and "any" not in phases and "bounce" not in phases:
+        return
     old = lambda: trace_closest_full(
         packed40, wc_min, wc_max, ray_o, ray_d, 0.0, jnp.inf
     )
     new = lambda: trace_bvh.trace_closest_bvh_full(
         packed40, bounds, meta, ray_o, ray_d, 0.0, jnp.inf
     )
-    h_old = old()
     h_new = new()
-    agree = float(jnp.mean((h_old["tri"] == h_new["tri"]).astype(jnp.float32)))
-    t_ok = float(
-        jnp.mean(
-            (
-                jnp.abs(h_old["t"] - h_new["t"])
-                <= 1e-3 * jnp.maximum(jnp.abs(h_old["t"]), 1.0)
-            )
-            | ~jnp.isfinite(h_old["t"])
-        ).astype(jnp.float32)
-    )
-    hitrate = float(jnp.mean((h_new["tri"] >= 0).astype(jnp.float32)))
-    print(f"primary agree tri: {agree:.5f}  t: {t_ok:.5f}  hitrate {hitrate:.3f}")
+    if "closest" in phases:
+        h_old = old()
+    if "closest" in phases:
+        agree = float(jnp.mean((h_old["tri"] == h_new["tri"]).astype(jnp.float32)))
+        t_ok = float(
+            jnp.mean(
+                (
+                    jnp.abs(h_old["t"] - h_new["t"])
+                    <= 1e-3 * jnp.maximum(jnp.abs(h_old["t"]), 1.0)
+                )
+                | ~jnp.isfinite(h_old["t"])
+            ).astype(jnp.float32)
+        )
+        hitrate = float(jnp.mean((h_new["tri"] >= 0).astype(jnp.float32)))
+        print(f"primary agree tri: {agree:.5f}  t: {t_ok:.5f}  hitrate {hitrate:.3f}", flush=True)
 
-    force = lambda x=None: x and float(x["t"].mean())
-    t_old = timed(old, lambda x=None: float(old()["t"].min()))
-    t_new = timed(new, lambda x=None: float(new()["t"].min()))
-    print(f"closest_full primary: old {t_old*1e3:.1f} ms  new {t_new*1e3:.1f} ms")
+        t_old = timed(old, lambda x=None: float(old()["t"].min()))
+        t_new = timed(new, lambda x=None: float(new()["t"].min()))
+        print(f"closest_full primary: old {t_old*1e3:.1f} ms  new {t_new*1e3:.1f} ms", flush=True)
 
     # ---- any (shadow-like rays from hit points toward a light) ----
     hit_t = jnp.where(jnp.isfinite(h_new["t"]), h_new["t"], 0.0)
@@ -123,12 +127,13 @@ def main():
     new_any = lambda: trace_bvh.trace_any_bvh(
         packed9, bounds, meta, origin, sd, 0.1, smax
     )
-    o1, o2 = old_any(), new_any()
-    agree = float(jnp.mean((o1 == o2).astype(jnp.float32)))
-    print(f"any agree: {agree:.5f} occl rate {float(o2.mean()):.3f}")
-    t_old = timed(old_any, lambda x=None: float(old_any().sum()))
-    t_new = timed(new_any, lambda x=None: float(new_any().sum()))
-    print(f"any shadow: old {t_old*1e3:.1f} ms  new {t_new*1e3:.1f} ms")
+    if "any" in phases:
+        o1, o2 = old_any(), new_any()
+        agree = float(jnp.mean((o1 == o2).astype(jnp.float32)))
+        print(f"any agree: {agree:.5f} occl rate {float(o2.mean()):.3f}", flush=True)
+        t_old = timed(old_any, lambda x=None: float(old_any().sum()))
+        t_new = timed(new_any, lambda x=None: float(new_any().sum()))
+        print(f"any shadow: old {t_old*1e3:.1f} ms  new {t_new*1e3:.1f} ms", flush=True)
 
     # ---- incoherent bounce-like rays (random dirs from hit points) ----
     rng = np.random.default_rng(0)
@@ -142,12 +147,13 @@ def main():
     new_b = lambda: trace_bvh.trace_closest_bvh_full(
         packed40, bounds, meta, origin, rd, 0.0, btmax
     )
-    b1, b2 = old_b(), new_b()
-    agree = float(jnp.mean((b1["tri"] == b2["tri"]).astype(jnp.float32)))
-    print(f"bounce agree tri: {agree:.5f}")
-    t_old = timed(old_b, lambda x=None: float(old_b()["t"].min()))
-    t_new = timed(new_b, lambda x=None: float(new_b()["t"].min()))
-    print(f"closest_full incoherent: old {t_old*1e3:.1f} ms  new {t_new*1e3:.1f} ms")
+    if "bounce" in phases:
+        b1, b2 = old_b(), new_b()
+        agree = float(jnp.mean((b1["tri"] == b2["tri"]).astype(jnp.float32)))
+        print(f"bounce agree tri: {agree:.5f}", flush=True)
+        t_old = timed(old_b, lambda x=None: float(old_b()["t"].min()))
+        t_new = timed(new_b, lambda x=None: float(new_b()["t"].min()))
+        print(f"closest_full incoherent: old {t_old*1e3:.1f} ms  new {t_new*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""On-TPU kernel smoke gate (VERDICT round-1 item 4).
+
+Compiles and runs every Pallas kernel family on the real chip over a
+small synthetic scene and checks agreement against the XLA reference
+path (which also runs on-chip, so a Mosaic miscompile shows up as a
+mismatch, not a plausible-looking render). Exits non-zero on failure.
+
+Run serially (one TPU process at a time):  python scripts/tpu_smoke.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "ok" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        print("not on TPU; smoke gate is a no-op here")
+        return 0
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+    from prosper_tpu.accel.bvh import build_bvh, pack_nodes
+    from prosper_tpu.ops import trace, trace_bvh, trace_pallas
+    from prosper_tpu.testing import make_test_scene
+
+    static, frame, arena, cam_fn = make_test_scene(n_boxes=9)
+    tris = {
+        "v0": jnp.asarray(static["wt_p0"]),
+        "e1": jnp.asarray(static["wt_p1"] - static["wt_p0"]),
+        "e2": jnp.asarray(static["wt_p2"] - static["wt_p0"]),
+    }
+    wc_min = jnp.asarray(frame["wc_aabb_min_w"])
+    wc_max = jnp.asarray(frame["wc_aabb_max_w"])
+    bounds = jnp.asarray(frame["bvh_bounds"])
+    meta = jnp.asarray(frame["bvh_meta"])
+    packed9 = trace_pallas.pack_tris(tris)
+
+    rng = np.random.default_rng(0)
+    R = trace.TILE * 8
+    o = jnp.asarray(rng.uniform(-6, 6, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+
+    # ---- closest: XLA vs flat-list kernel vs BVH kernel ----
+    ref = trace.trace_closest(tris, wc_min, wc_max, o, d, 1e-4, jnp.inf)
+    flat = trace_pallas.trace_closest_pallas(
+        packed9, wc_min, wc_max, o, d, 1e-4, jnp.inf
+    )
+    bvhh = trace_bvh.trace_closest_bvh(packed9, bounds, meta, o, d, 1e-4, jnp.inf)
+    for name, got in [("trace_closest_flat", flat), ("trace_closest_bvh", bvhh)]:
+        tri_match = float(jnp.mean((got["tri"] == ref["tri"]).astype(jnp.float32)))
+        sel = ref["tri"] >= 0
+        t_err = float(
+            jnp.max(jnp.where(sel, jnp.abs(got["t"] - ref["t"]), 0.0))
+        )
+        check(name, tri_match == 1.0 and t_err < 1e-3,
+              f"tri_match={tri_match:.5f} t_err={t_err:.2e}")
+
+    # ---- any-hit ----
+    ref_any = trace.trace_any(tris, wc_min, wc_max, o, d, 0.1, 8.0)
+    flat_any = trace_pallas.trace_any_pallas(packed9, wc_min, wc_max, o, d, 0.1, 8.0)
+    bvh_any = trace_bvh.trace_any_bvh(packed9, bounds, meta, o, d, 0.1, 8.0)
+    check("trace_any_flat", bool(jnp.all(flat_any == ref_any)))
+    check("trace_any_bvh", bool(jnp.all(bvh_any == ref_any)))
+
+    # ---- fused-attribute kernel: finite attrs + t agreement ----
+    from prosper_tpu.ops.trace_pallas_full import pack_tris_full
+    static_dev = {
+        k: jnp.asarray(v) for k, v in static.items() if k != "materials"
+    }
+    frame_dev = {
+        k: jnp.asarray(v)
+        for k, v in frame.items()
+        if k not in ("lights", "scene_camera", "bvh_depth")
+    }
+    packed40 = pack_tris_full(static_dev, frame_dev)
+    full = trace_bvh.trace_closest_bvh_full(
+        packed40, bounds, meta, o, d, 1e-4, jnp.inf
+    )
+    sel = ref["tri"] >= 0
+    check(
+        "trace_closest_bvh_full",
+        bool(jnp.all(full["tri"] == ref["tri"]))
+        and bool(jnp.all(jnp.isfinite(jnp.where(sel[:, None], full["normal"], 0.0)))),
+    )
+
+    # ---- tile-major clustered shading vs XLA froxel path ----
+    from prosper_tpu.ops import clustering
+    from prosper_tpu.ops.shade_tiles import shade_clustered_tiles
+    from prosper_tpu.ops.rays import pinhole_rays
+    from prosper_tpu.scene.lights import LightArrays, light_uniforms
+
+    W = H = 128
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(W, H).items()}
+    la = LightArrays()
+    n_pt = 24
+    la.point_count = n_pt
+    la.point_position[:n_pt] = rng.uniform(-4, 4, (n_pt, 3))
+    la.point_radiance[:n_pt] = rng.uniform(0.5, 5.0, (n_pt, 3))
+    la.point_radius[:n_pt] = rng.uniform(1.0, 6.0, n_pt)
+    lights = {k: jnp.asarray(v) for k, v in light_uniforms(la).items()}
+
+    px = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
+    py = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+    uv = (jnp.stack([px, py], -1).astype(jnp.float32) + 0.5) / jnp.array(
+        [W, H], jnp.float32
+    )
+    ro, rd = pinhole_rays(cam, uv)
+    depth = jnp.asarray(rng.uniform(1.0, 12.0, W * H).astype(np.float32))
+    pos = ro + rd * depth[:, None]
+    n = jnp.asarray(rng.normal(size=(W * H, 3)).astype(np.float32))
+    n = n / jnp.linalg.norm(n, axis=1, keepdims=True)
+    ivr = cam["eye"] - pos
+    ivr = ivr / jnp.maximum(jnp.linalg.norm(ivr, axis=-1, keepdims=True), 1e-20)
+    surface = {
+        "position_ws": pos,
+        "normal_ws": n,
+        "inv_view_ray": ivr,
+        "albedo": jnp.asarray(rng.uniform(0, 1, (W * H, 3)).astype(np.float32)),
+        "roughness": jnp.asarray(rng.uniform(0.05, 1, W * H).astype(np.float32)),
+        "metallic": jnp.asarray(rng.uniform(0, 1, W * H).astype(np.float32)),
+        "NoV": jnp.clip(jnp.sum(n * ivr, axis=-1), 0.0, 1.0),
+    }
+    w2c = cam["world_to_camera"]
+    z_cam = pos @ w2c[2, :3] + w2c[2, 3]
+    valid = jnp.ones((W * H,), bool)
+    clusters = clustering.build_light_clusters(cam, lights, W, H)
+    want = clustering.eval_clustered_lights(
+        surface, lights, clusters, px, py, z_cam, cam["near"], cam["far"]
+    )
+    got = shade_clustered_tiles(surface, lights, cam, z_cam, valid, W, H)
+    err = float(
+        jnp.max(jnp.abs(got - want) / (jnp.abs(want) + 1e-2))
+    )
+    check("shade_clustered_tiles", err < 1e-2, f"rel_err={err:.2e}")
+
+    # ---- IBL GGX prefilter finiteness (round-1 miscompile class) ----
+    from prosper_tpu.ops.ibl import prefilter_radiance
+
+    env = jnp.abs(
+        jnp.asarray(rng.normal(size=(6, 64, 64, 3)).astype(np.float32))
+    )
+    mips = prefilter_radiance(env, res=64, n_mips=4, n_samples=64)
+    finite = all(bool(jnp.all(jnp.isfinite(m))) for m in mips)
+    check("ibl_prefilter_radiance", finite)
+
+    print(("SMOKE PASS" if not FAILURES else f"SMOKE FAIL: {FAILURES}"), flush=True)
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Op-level device profile of one BVH trace call (jax.profiler xplane).
+
+Usage: python scripts/xprof.py [frac]   (frac: use R//frac rays)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCENE = "/root/reference/res/glTF/FlightHelmet/glTF/FlightHelmet.gltf"
+WIDTH, HEIGHT = 1920, 1080
+
+
+def dump_trace(fn, force, outdir="/tmp/xprof"):
+    import jax
+
+    fn()
+    force(fn())
+    import shutil
+
+    shutil.rmtree(outdir, ignore_errors=True)
+    with jax.profiler.trace(outdir):
+        for _ in range(2):
+            force(fn())
+    return outdir
+
+
+def top_ops(outdir, n=25):
+    from jax.profiler import ProfileData
+
+    paths = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane under {outdir}"
+    data = ProfileData.from_file(paths[0])
+    totals = defaultdict(float)
+    for plane in data.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        for line in plane.lines:
+            lname = line.name.lower()
+            if "step" in lname or "xla modules" in lname:
+                continue
+            for ev in line.events:
+                dur = ev.duration_ns / 1e6
+                totals[ev.name[:90]] += dur
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:n]:
+        print(f"{ms/2:9.2f} ms  {name}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from prosper_tpu.accel.bvh import build_bvh, pack_nodes
+    from prosper_tpu.ops import trace, trace_bvh, trace_pallas
+    from prosper_tpu.ops.rays import pinhole_rays
+    from prosper_tpu.scene.world import World
+
+    frac = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+
+    world = World(SCENE)
+    frame = world.frame_arrays(0.0)
+    static = {
+        k: jnp.asarray(v)
+        for k, v in world.static_scene_arrays().items()
+        if k != "materials"
+    }
+    frame_dev = {
+        k: jnp.asarray(v)
+        for k, v in frame.items()
+        if k not in ("scene_camera", "bvh_depth", "lights")
+    }
+    bvh = build_bvh(frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], max_leaf_size=1)
+    bounds_np, meta_np = pack_nodes(bvh)
+    bounds, meta = jnp.asarray(bounds_np), jnp.asarray(meta_np)
+
+    cam_obj = world.make_camera((WIDTH, HEIGHT))
+    cam = {k: jnp.asarray(v) for k, v in cam_obj.uniforms().items()}
+    px_np, py_np, _ = trace.block_pixel_order(WIDTH, HEIGHT)
+    uv = (
+        jnp.stack([jnp.asarray(px_np), jnp.asarray(py_np)], -1).astype(jnp.float32)
+        + 0.5
+    ) / jnp.array([WIDTH, HEIGHT], jnp.float32)
+    ray_o, ray_d = pinhole_rays(cam, uv)
+    n = (ray_o.shape[0] // frac) // 2048 * 2048
+    ray_o = jax.block_until_ready(ray_o[:n])
+    ray_d = ray_d[:n]
+    print(f"rays: {n/1e6:.2f}M")
+
+    tris = trace.world_triangles(static, frame_dev)
+    packed9 = jax.block_until_ready(trace_pallas.pack_tris(tris))
+
+    from prosper_tpu.ops.trace_pallas_full import pack_tris_full, trace_closest_full
+
+    packed40 = jax.block_until_ready(pack_tris_full(static, frame_dev))
+    wc_min = frame_dev["wc_aabb_min_w"]
+    wc_max = frame_dev["wc_aabb_max_w"]
+
+    variants = {
+        "bvh_closest": lambda: trace_bvh.trace_closest_bvh(
+            packed9, bounds, meta, ray_o, ray_d, 0.0, jnp.inf
+        ),
+        "bvh_closest_full": lambda: trace_bvh.trace_closest_bvh_full(
+            packed40, bounds, meta, ray_o, ray_d, 0.0, jnp.inf
+        ),
+        "old_closest_full": lambda: trace_closest_full(
+            packed40, wc_min, wc_max, ray_o, ray_d, 0.0, jnp.inf
+        ),
+        "bvh_any": lambda: trace_bvh.trace_any_bvh(
+            packed9, bounds, meta, ray_o, ray_d, 0.0, 8.0
+        ),
+    }
+    for name, fn in variants.items():
+        force = (lambda x: float(x.sum())) if name.endswith("any") else (
+            lambda x: float(x["t"].min())
+        )
+        outdir = dump_trace(fn, force, outdir=f"/tmp/xprof_{name}")
+        print(f"==== {name} ====")
+        top_ops(outdir, n=6)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,54 @@ def test_texture_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(a1.table, a2.table)
     caches = list((scene_dir / "prosper_cache").glob("tex_*.npz"))
     assert caches, "texture cache files written"
+
+
+def test_texture_streaming_converges_to_full_arena():
+    """build_streaming_arena: identical layout to the upfront arena,
+    neutral contents that converge to the full arena after adoption
+    (DeferredLoadingContext::loadNextTexture analog)."""
+    from prosper_tpu.scene.gltf import load_gltf
+    from prosper_tpu.scene.textures import (
+        build_streaming_arena,
+        build_texture_arena,
+    )
+    from prosper_tpu.scene.streaming import LoadedTexture
+
+    doc = load_gltf(SCENE)
+    full = build_texture_arena(doc, max_dim=256)
+    streamed, jobs = build_streaming_arena(doc, max_dim=256)
+
+    # layout (offsets/dims/flags/mip counts) must match the upfront build
+    np.testing.assert_array_equal(streamed.table, full.table)
+    np.testing.assert_array_equal(streamed.n_mips, full.n_mips)
+    assert streamed.data.shape == full.data.shape
+    assert len(jobs) == len(doc.images)
+
+    # contents start neutral (different from the full arena somewhere,
+    # unless every texture file is missing from the mount)
+    data = streamed.data.copy()
+    for job in jobs:
+        tex = job()
+        assert isinstance(tex, LoadedTexture)
+        data[tex.offset : tex.offset + len(tex.chunk)] = tex.chunk
+    np.testing.assert_array_equal(data, full.data)
+
+
+def test_world_streams_textures_after_meshes():
+    from prosper_tpu.scene.streaming import LoadedTexture
+    from prosper_tpu.scene.textures import build_streaming_arena
+
+    stream = World(SCENE, use_cache=False, streaming=True)
+    _, jobs = build_streaming_arena(stream.doc, max_dim=64)
+    stream.start_streaming(jobs)
+    textures = []
+    deadline = time.time() + 120
+    while not stream.streaming_done and time.time() < deadline:
+        stream.poll_streaming(budget=4)
+        textures += stream.take_adopted_textures()
+        time.sleep(0.01)
+    stream.poll_streaming(budget=1000)
+    textures += stream.take_adopted_textures()
+    assert stream.streaming_done
+    assert len(textures) == len(jobs)
+    assert all(isinstance(t, LoadedTexture) for t in textures)
