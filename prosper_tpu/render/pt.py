@@ -67,6 +67,7 @@ def pt_trace_pixels(
     clamp_indirect: bool = False,
     env: jnp.ndarray | None = None,
     alpha_rounds: int = 0,
+    wavefront_sort: bool = False,
 ):
     """Path-trace an arbitrary flat pixel list -> ((R,3) color, ray count).
 
@@ -139,47 +140,53 @@ def pt_trace_pixels(
         state, color, throughput, active, ray_o, ray_d, ray_tmax, n_rays, origin_cluster = carry
         n_rays = n_rays + jnp.sum(active.astype(jnp.int32))
 
-        # Wavefront coherence sort (bounce > 0): bounce directions are
-        # random, so group rays by (origin cluster, direction octant) to
-        # restore tight packet bounds; dead rays sort to the back. Bounce
-        # 0 keeps the caller's 16x16-block order (identity keys).
-        # 6-bit direction bin (8x8 octahedral grid): tighter per-tile
-        # direction bounds than coarse octants -> leaner cull lists
-        ad = jnp.abs(ray_d)
-        denom = jnp.maximum(ad[:, 0] + ad[:, 1] + ad[:, 2], 1e-20)
-        ox_ = ray_d[:, 0] / denom
-        oy_ = ray_d[:, 1] / denom
-        # fold lower hemisphere (signed octahedral)
-        fold = ray_d[:, 2] < 0.0
-        ox2 = jnp.where(fold, (1.0 - jnp.abs(oy_)) * jnp.sign(ox_), ox_)
-        oy2 = jnp.where(fold, (1.0 - jnp.abs(ox_)) * jnp.sign(oy_), oy_)
-        bx = jnp.clip(((ox2 * 0.5 + 0.5) * 8).astype(jnp.int32), 0, 7)
-        by = jnp.clip(((oy2 * 0.5 + 0.5) * 8).astype(jnp.int32), 0, 7)
-        octant = (
-            (bx * 8 + by) * 2 + fold.astype(jnp.int32)
-        )  # 128 direction bins
-        key = jnp.where(
-            active, origin_cluster * 128 + octant, 128 * n_clusters + 1
-        )
-        key = jnp.where(
-            bounce > 0, key, jnp.arange(key.shape[0], dtype=jnp.int32)
-        )
-        perm = jnp.argsort(key, stable=True)
-        # scatter inverse: cheaper than a second argsort
-        inv_perm = (
-            jnp.zeros_like(perm)
-            .at[perm]
-            .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
-        )
-
-        o_p, d_p, tmax_p = ray_o[perm], ray_d[perm], ray_tmax[perm]
+        if wavefront_sort:
+            # Round-1 wavefront coherence sort: group bounce rays by
+            # (origin cluster, direction octant). With the in-kernel BVH
+            # descent's per-ray node tests this usually LOSES: the
+            # argsort + permutation gathers cost ~2x what they save
+            # (bounce origins from one 16x16 pixel block stay spatially
+            # local, so packets remain workable unsorted). Kept behind a
+            # flag for flat-kernel runs and perf comparisons.
+            ad = jnp.abs(ray_d)
+            denom = jnp.maximum(ad[:, 0] + ad[:, 1] + ad[:, 2], 1e-20)
+            ox_ = ray_d[:, 0] / denom
+            oy_ = ray_d[:, 1] / denom
+            # fold lower hemisphere (signed octahedral)
+            fold = ray_d[:, 2] < 0.0
+            ox2 = jnp.where(fold, (1.0 - jnp.abs(oy_)) * jnp.sign(ox_), ox_)
+            oy2 = jnp.where(fold, (1.0 - jnp.abs(ox_)) * jnp.sign(oy_), oy_)
+            bx = jnp.clip(((ox2 * 0.5 + 0.5) * 8).astype(jnp.int32), 0, 7)
+            by = jnp.clip(((oy2 * 0.5 + 0.5) * 8).astype(jnp.int32), 0, 7)
+            octant = (
+                (bx * 8 + by) * 2 + fold.astype(jnp.int32)
+            )  # 128 direction bins
+            key = jnp.where(
+                active, origin_cluster * 128 + octant, 128 * n_clusters + 1
+            )
+            key = jnp.where(
+                bounce > 0, key, jnp.arange(key.shape[0], dtype=jnp.int32)
+            )
+            perm = jnp.argsort(key, stable=True)
+            # scatter inverse: cheaper than a second argsort
+            inv_perm = (
+                jnp.zeros_like(perm)
+                .at[perm]
+                .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
+            )
+            o_p, d_p, tmax_p = ray_o[perm], ray_d[perm], ray_tmax[perm]
+        else:
+            perm = inv_perm = None
+            o_p, d_p, tmax_p = ray_o, ray_d, ray_tmax
         hit = trace_closest_fn(o_p, d_p, 0.0, tmax_p)
         if alpha_rounds and use_full_kernel:
             from ..ops.texture import sample_alpha_packed
 
             # fixed per-ray uniform: pcg(state.x ^ state.z) (no advance),
             # the payload.randomSeed convention
-            seed = prng.pcg(state[..., 0] ^ state[..., 2])[perm]
+            seed = prng.pcg(state[..., 0] ^ state[..., 2])
+            if perm is not None:
+                seed = seed[perm]
             au = prng.rng_to01(seed)
             t_off = jnp.zeros_like(hit["t"])
             o_cur = o_p
@@ -207,7 +214,8 @@ def pt_trace_pixels(
                     for k in hit
                 }
             hit["t"] = hit["t"] + t_off
-        hit = {k: v[inv_perm] for k, v in hit.items()}
+        if inv_perm is not None:
+            hit = {k: v[inv_perm] for k, v in hit.items()}
         hit_valid = (hit["tri"] >= 0) & active
         # IBL skybox on miss (main.rgen:246-254)
         if env is not None:
@@ -252,9 +260,12 @@ def pt_trace_pixels(
         shadow_o = jnp.where(need_shadow[..., None], surface["position_ws"], ray_o)
         shadow_d = jnp.where(need_shadow[..., None], l, ray_d)
         shadow_tmax = jnp.where(need_shadow, dist, 0.0)
-        occluded = trace_any_fn(
-            shadow_o[perm], shadow_d[perm], 0.1, shadow_tmax[perm]
-        )[inv_perm]
+        if perm is not None:
+            occluded = trace_any_fn(
+                shadow_o[perm], shadow_d[perm], 0.1, shadow_tmax[perm]
+            )[inv_perm]
+        else:
+            occluded = trace_any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
         n_rays = n_rays + jnp.sum(need_shadow.astype(jnp.int32))
         vis = jnp.where(need_shadow & ~occluded, 1.0, 0.0)
         direct = (
@@ -381,6 +392,7 @@ def pt_trace_pixels(
         "clamp_indirect",
         "return_stats",
         "alpha_rounds",
+        "wavefront_sort",
     ),
 )
 def pt_render_sample(
@@ -397,6 +409,7 @@ def pt_render_sample(
     return_stats: bool = False,
     env: jnp.ndarray | None = None,
     alpha_rounds: int = 0,
+    wavefront_sort: bool = False,
 ):
     """One full-frame 1-spp sample pass -> (H*W, 3) linear color in
     row-major pixel order (+ ray count when return_stats).
@@ -420,6 +433,7 @@ def pt_render_sample(
         clamp_indirect,
         env,
         alpha_rounds,
+        wavefront_sort,
     )
     color = color[jnp.asarray(inv_np)]
     if return_stats:

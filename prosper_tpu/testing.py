@@ -150,3 +150,57 @@ def make_test_scene(n_boxes: int = 4, seed: int = 0):
         return cam.uniforms()
 
     return static, frame, arena, cam_fn
+
+
+def make_stress_scene(n_clusters: int = 2048, seed: int = 0):
+    """Sponza-class synthetic stress scene: n_clusters plates of 128
+    triangles each (8x8 quad grids), scattered in a 3D grid — >=100k
+    tris at 1024+ clusters, exercising the BVH traversal path at scale
+    (BASELINE config 2 intent; the Sponza asset is absent from the
+    mount). Returns (tris_dict, wc_min, wc_max, bvh_bounds, bvh_meta).
+    """
+    rng = np.random.default_rng(seed)
+    pad = CLUSTER_TRI_PAD
+    g = 8  # 8x8 quads -> 128 tris, a full cluster
+
+    side = int(np.ceil(n_clusters ** (1.0 / 3.0)))
+    S = n_clusters * pad
+    p0 = np.zeros((S, 3), np.float32)
+    p1 = np.zeros((S, 3), np.float32)
+    p2 = np.zeros((S, 3), np.float32)
+    wc_min = np.zeros((n_clusters, 3), np.float32)
+    wc_max = np.zeros((n_clusters, 3), np.float32)
+
+    # one plate's local grid (g*g quads = 2*g*g tris = 128)
+    xs, ys = np.meshgrid(np.arange(g + 1), np.arange(g + 1), indexing="ij")
+    verts = np.stack(
+        [xs.ravel() / g, ys.ravel() / g, np.zeros((g + 1) * (g + 1))], 1
+    ).astype(np.float32)
+    quads = []
+    for i in range(g):
+        for j in range(g):
+            a = i * (g + 1) + j
+            b = a + 1
+            c = a + (g + 1)
+            d = c + 1
+            quads += [(a, b, c), (b, d, c)]
+    tris_local = np.array(quads, np.int32)
+
+    for ci in range(n_clusters):
+        cell = np.array(
+            [ci % side, (ci // side) % side, ci // (side * side)], np.float32
+        )
+        origin = cell * 1.5 + rng.uniform(-0.2, 0.2, 3)
+        rot = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+        v = verts @ rot.T + origin
+        base = ci * pad
+        p0[base : base + 128] = v[tris_local[:, 0]]
+        p1[base : base + 128] = v[tris_local[:, 1]]
+        p2[base : base + 128] = v[tris_local[:, 2]]
+        wc_min[ci] = v.min(axis=0)
+        wc_max[ci] = v.max(axis=0)
+
+    tris = {"v0": p0, "e1": p1 - p0, "e2": p2 - p0}
+    bvh = build_bvh(wc_min, wc_max, max_leaf_size=1)
+    bounds, meta = pack_nodes(bvh)
+    return tris, wc_min, wc_max, bounds, meta

@@ -126,5 +126,55 @@ def main():
         top_ops(outdir, n=6)
 
 
+
+
+def profile_pt():
+    """Frame-level op profile of pt_render_sample."""
+    import jax
+    import jax.numpy as jnp
+
+    from prosper_tpu.render.pt import pt_render_sample
+    from prosper_tpu.scene.textures import build_texture_arena
+    from prosper_tpu.scene.world import World
+    from prosper_tpu.ops.texture import pack_material_tables
+
+    world = World(SCENE)
+    arena = build_texture_arena(world.doc, max_dim=2048)
+    static = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in world.static_scene_arrays().items()
+    }
+    arena_dev = {k: jnp.asarray(v) for k, v in arena.uniforms().items()}
+    arena_dev["mat_f32"], arena_dev["mat_i32"] = pack_material_tables(
+        world.static_scene_arrays()["materials"], arena_dev
+    )
+    frame = world.frame_arrays(0.0)
+    fd = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in frame.items()
+        if k not in ("scene_camera", "bvh_depth")
+    }
+    cam = {
+        k: jnp.asarray(v)
+        for k, v in world.make_camera((WIDTH, HEIGHT)).uniforms().items()
+    }
+    fn = lambda: pt_render_sample(
+        static, fd, arena_dev, cam, WIDTH, HEIGHT, 1, max_bounces=3
+    )
+    outdir = dump_trace(fn, lambda x: float(x.mean()), outdir="/tmp/xprof_pt")
+    top_ops(outdir, n=22)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "pt":
+        profile_pt()
+    else:
+        main()

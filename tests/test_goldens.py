@@ -17,7 +17,7 @@ SCENE = "/root/reference/res/glTF/FlightHelmet/glTF/FlightHelmet.gltf"
 RES = 128  # small enough to commit, big enough to catch shifts
 
 
-def _render():
+def _scene():
     from prosper_tpu.ops.texture import pack_material_tables
     from prosper_tpu.ops.tonemap import load_tony_mc_mapface
     from prosper_tpu.render.forward import render_forward
@@ -53,13 +53,42 @@ def _render():
         for k, v in world.make_camera((RES, RES)).uniforms().items()
     }
     lut = jnp.asarray(load_tony_mc_mapface())
-    img = render_forward(static, fd, arena_dev, cam, lut, RES, RES)
+    return static, fd, arena_dev, cam, lut
+
+
+def _render(mode="forward"):
+    static, fd, arena_dev, cam, lut = _scene()
+    if mode == "forward":
+        from prosper_tpu.render.forward import render_forward
+
+        img = render_forward(static, fd, arena_dev, cam, lut, RES, RES)
+    elif mode == "pt":
+        from prosper_tpu.render.pt import pt_entry
+
+        img, _ = pt_entry(
+            static=static, frame=fd, arena=arena_dev, cam=cam, lut=lut,
+            width=RES, height=RES, max_bounces=2, frame_index=0,
+        )
+    elif mode == "deferred":
+        from prosper_tpu.render.deferred import deferred_entry
+
+        img, _ = deferred_entry(
+            static=static, frame=fd, arena=arena_dev, cam=cam, lut=lut,
+            width=RES, height=RES, use_bloom=True, use_dof=True,
+        )
+    elif mode == "restir":
+        from prosper_tpu.render.restir import restir_entry
+
+        img, _ = restir_entry(
+            static=static, frame=fd, arena=arena_dev, cam=cam, lut=lut,
+            width=RES, height=RES, frame_index=0,
+        )
     return np.asarray(img)
 
 
-def test_forward_flighthelmet_golden():
-    golden_path = os.path.join(GOLDEN_DIR, f"forward_helmet_{RES}.npy")
-    img = _render()
+def _check_golden(mode):
+    golden_path = os.path.join(GOLDEN_DIR, f"{mode}_helmet_{RES}.npy")
+    img = _render(mode)
     if not os.path.exists(golden_path):
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.save(golden_path, img)
@@ -68,8 +97,27 @@ def test_forward_flighthelmet_golden():
         )
     golden = np.load(golden_path)
     rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
-    # display-encoded, deterministic pipeline: tiny float drift only
-    assert rmse < 1e-3, f"RMSE vs golden {rmse}"
+    assert rmse < 1e-3, f"{mode} RMSE vs golden {rmse}"
+
+
+def test_forward_flighthelmet_golden():
+    _check_golden("forward")
+
+
+def test_pt_flighthelmet_golden():
+    """1-spp 2-bounce PT sample with a fixed seed (BASELINE config 2
+    harness shape at self-golden scale)."""
+    _check_golden("pt")
+
+
+def test_deferred_post_flighthelmet_golden():
+    """Deferred + bloom + DoF chain (configs 3/5 harness shape)."""
+    _check_golden("deferred")
+
+
+def test_restir_flighthelmet_golden():
+    """ReSTIR DI frame, frame_index 0 (config 4 harness shape)."""
+    _check_golden("restir")
 
 
 if __name__ == "__main__":
@@ -77,5 +125,9 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         os.makedirs(GOLDEN_DIR, exist_ok=True)
-        np.save(os.path.join(GOLDEN_DIR, f"forward_helmet_{RES}.npy"), _render())
-        print("golden regenerated")
+        for mode in ("forward", "pt", "deferred", "restir"):
+            np.save(
+                os.path.join(GOLDEN_DIR, f"{mode}_helmet_{RES}.npy"),
+                _render(mode),
+            )
+            print(f"{mode} golden regenerated")
