@@ -200,7 +200,8 @@ def _closest_body(fused):
 
     def kernel(bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, *rest):
         if fused:
-            (out, tri_slab, stack_idx, stack_enter, attr_scr, sems) = rest
+            (out, tri_slab, attr_slab, stack_idx, stack_enter, attr_scr,
+             sems) = rest
         else:
             (out, tri_slab, stack_idx, stack_enter, sems) = rest
 
@@ -208,8 +209,11 @@ def _closest_body(fused):
         t_min = 1e-4
 
         def get_dma(slot, c):
+            # geometry rows only: the 31 attribute rows are fetched on
+            # demand when a leaf improves a hit (most visits don't), so
+            # the steady-state leaf traffic is 4.5 KB, not 20 KB
             return pltpu.make_async_copy(
-                tris_hbm.at[c], tri_slab.at[slot], sems.at[slot]
+                tris_hbm.at[c, 0:ROWS_PLAIN], tri_slab.at[slot], sems.at[slot]
             )
 
         def tile_body(k, _):
@@ -268,15 +272,23 @@ def _closest_body(fused):
                     if fused:
                         @pl.when(jnp.any(improved))
                         def _():
+                            acopy = pltpu.make_async_copy(
+                                tris_hbm.at[cur, ROWS_PLAIN:ROWS_FULL],
+                                attr_slab.at[0],
+                                sems.at[2],
+                            )
+                            acopy.start()
                             sel = is_best & (lane == j)
                             selw = sel.astype(jnp.float32)
                             w_b = 1.0 - u - v
+                            acopy.wait()
+                            aslab = attr_slab[0]
 
                             def interp(r0, r1, r2):
                                 a = (
-                                    w_b * slab[r0:r0 + 1, :]
-                                    + u * slab[r1:r1 + 1, :]
-                                    + v * slab[r2:r2 + 1, :]
+                                    w_b * aslab[r0 - 9:r0 - 8, :]
+                                    + u * aslab[r1 - 9:r1 - 8, :]
+                                    + v * aslab[r2 - 9:r2 - 8, :]
                                 )
                                 return jnp.sum(a * selw, axis=1, keepdims=True)
 
@@ -288,10 +300,10 @@ def _closest_body(fused):
                                 interp(30 + c, 32 + c, 34 + c) for c in range(2)
                             ]
                             mat_row = jnp.sum(
-                                slab[36:37, :] * selw, axis=1, keepdims=True
+                                aslab[27:28, :] * selw, axis=1, keepdims=True
                             )
                             lod_row = jnp.sum(
-                                slab[37:38, :] * selw, axis=1, keepdims=True
+                                aslab[28:29, :] * selw, axis=1, keepdims=True
                             )
                             new_attr = jnp.concatenate(
                                 attrs
@@ -486,11 +498,12 @@ def trace_closest_bvh_full(
         in_specs=_in_specs(),
         out_specs=[_out_block(16)],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS_FULL, 128), jnp.float32),
+            pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
+            pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), jnp.float32),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
             pltpu.VMEM((TILE, 12), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     n_tiles = n_steps * TILES_PER_STEP
@@ -612,7 +625,7 @@ def trace_any_bvh(
         in_specs=_in_specs(),
         out_specs=[_out_block()],
         scratch_shapes=[
-            pltpu.VMEM((2, tris_packed.shape[1], 128), jnp.float32),
+            pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

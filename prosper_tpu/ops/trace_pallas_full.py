@@ -37,8 +37,13 @@ from .trace_pallas import _moller_block
 ROWS = 40
 
 
-def pack_tris_full(static_scene: dict, frame: dict) -> jnp.ndarray:
-    """Per-frame (C, 40, 128) slabs: world-space geometry + attributes."""
+def pack_tris_full(static_scene: dict, frame: dict, dtype=jnp.float32) -> jnp.ndarray:
+    """Per-frame (C, 40, 128) slabs: world-space geometry + attributes.
+
+    dtype=float16 halves the traversal loop's HBM traffic — the
+    reference quantizes its vertex buffers the same way (f16x4 positions,
+    f16x2 UVs, src/scene/Mesh.hpp:11-15); the BVH kernels convert rows
+    back to f32 in VMEM registers."""
     inst = static_scene["wt_instance"]  # (S,)
     m = frame["transforms"][inst]  # (S, 3, 4)
     nm = frame["normal_transforms"][inst]  # (S, 3, 3)
@@ -102,7 +107,7 @@ def pack_tris_full(static_scene: dict, frame: dict) -> jnp.ndarray:
         axis=1,
     )  # (S, 40)
     C = rows.shape[0] // CLUSTER_PAD
-    return rows.reshape(C, CLUSTER_PAD, ROWS).transpose(0, 2, 1)
+    return rows.reshape(C, CLUSTER_PAD, ROWS).transpose(0, 2, 1).astype(dtype)
 
 
 def _kernel(

@@ -75,7 +75,6 @@ def render_gbuffer(
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
         packed_full = pack_tris_full(static_scene, frame)
-
         if bvh is not None and not use_culling:
             # BVH descent for the plain G-buffer path; the culling path
             # masks cluster AABBs per phase, which needs the flat kernel

@@ -128,17 +128,26 @@ def main():
 
 
 
-def profile_pt():
-    """Frame-level op profile of pt_render_sample."""
+def profile_mode(mode="pt", n_lights=1024):
+    """Frame-level op profile of a full render mode."""
     import jax
     import jax.numpy as jnp
 
+    from prosper_tpu.render.frame import render_modes
     from prosper_tpu.render.pt import pt_render_sample
     from prosper_tpu.scene.textures import build_texture_arena
     from prosper_tpu.scene.world import World
     from prosper_tpu.ops.texture import pack_material_tables
 
     world = World(SCENE)
+    if mode != "pt":
+        rng = np.random.default_rng(0)
+        lo = world.wc_aabb_min_obj.min(axis=0)
+        hi = world.wc_aabb_max_obj.max(axis=0)
+        world.lights.point_position[:n_lights] = rng.uniform(lo, hi, (n_lights, 3))
+        world.lights.point_radiance[:n_lights] = rng.uniform(0.05, 0.5, (n_lights, 3))
+        world.lights.point_radius[:n_lights] = float(np.linalg.norm(hi - lo))
+        world.lights.point_count = n_lights
     arena = build_texture_arena(world.doc, max_dim=2048)
     static = {
         k: (
@@ -166,15 +175,30 @@ def profile_pt():
         k: jnp.asarray(v)
         for k, v in world.make_camera((WIDTH, HEIGHT)).uniforms().items()
     }
-    fn = lambda: pt_render_sample(
-        static, fd, arena_dev, cam, WIDTH, HEIGHT, 1, max_bounces=3
-    )
-    outdir = dump_trace(fn, lambda x: float(x.mean()), outdir="/tmp/xprof_pt")
-    top_ops(outdir, n=22)
+    from prosper_tpu.ops.tonemap import load_tony_mc_mapface
+
+    lut = jnp.asarray(load_tony_mc_mapface())
+    if mode == "pt":
+        fn = lambda: pt_render_sample(
+            static, fd, arena_dev, cam, WIDTH, HEIGHT, 1, max_bounces=3
+        )
+        force = lambda x: float(x.mean())
+    else:
+        render = render_modes()[mode]
+
+        def fn():
+            img, _ = render(
+                static=static, frame=fd, arena=arena_dev, cam=cam, lut=lut,
+                width=WIDTH, height=HEIGHT, frame_index=1, state=None,
+            )
+            return img
+        force = lambda x: float(x.mean())
+    outdir = dump_trace(fn, force, outdir=f"/tmp/xprof_{mode}")
+    top_ops(outdir, n=20)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "pt":
-        profile_pt()
+    if len(sys.argv) > 1 and sys.argv[1] in ("pt", "deferred", "restir", "forward"):
+        profile_mode(sys.argv[1])
     else:
         main()

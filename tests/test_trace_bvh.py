@@ -165,6 +165,7 @@ def test_bvh_full_matches_plain_and_interpolates():
     np.testing.assert_array_equal(
         np.asarray(full["tri"]), np.asarray(plain["tri"])
     )
+
     sel = np.asarray(full["tri"]) >= 0
     np.testing.assert_allclose(
         np.asarray(full["t"])[sel], np.asarray(plain["t"])[sel], rtol=1e-6
