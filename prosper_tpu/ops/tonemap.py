@@ -19,16 +19,39 @@ _TONY_PATH = "/root/reference/res/texture/tony_mc_mapface.dds"
 
 
 def load_tony_mc_mapface(path: str = _TONY_PATH) -> np.ndarray:
-    """(48, 48, 48, 3) float32, indexed [b][g][r] (DDS depth-major)."""
+    """Quad-packed LUT (48^3, 12) float32 (see pack_lut_quads)."""
     img = read_dds(path)
     lut = img.mips[0]
     assert lut.shape == (LUT_DIMS, LUT_DIMS, LUT_DIMS, 3)
-    return lut.astype(np.float32)
+    return pack_lut_quads(lut.astype(np.float32))
+
+
+def pack_lut_quads(lut: np.ndarray) -> np.ndarray:
+    """(48,48,48,3) -> (48^3, 12): row (z,y,x) holds the clamped x/y
+    bilinear quad [c(x,y), c(x+1,y), c(x,y+1), c(x+1,y+1)], so a
+    trilinear fetch is TWO row gathers (z0, z1) instead of eight corner
+    gathers — XLA row-gather throughput bound the tone map at 1080p."""
+    d = LUT_DIMS
+    i = np.arange(d)
+    i1 = np.minimum(i + 1, d - 1)
+    q = np.stack(
+        [
+            lut,
+            lut[:, :, i1],
+            lut[:, i1, :],
+            lut[:, i1, :][:, :, i1],
+        ],
+        axis=-2,
+    )  # (z, y, x, 4, 3)
+    return q.reshape(d * d * d, 12).astype(np.float32)
 
 
 def sample_lut_trilinear(lut: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
     """Trilinear 3D LUT fetch; uvw in [0,1]^3 maps to texel centers already
-    (caller applies the (d-1)/d + 0.5/d alignment)."""
+    (caller applies the (d-1)/d + 0.5/d alignment).
+
+    lut: quad-packed (48^3, 12) (2 row gathers) or raw (48,48,48,3)
+    (8 corner gathers; kept for synthetic test LUTs)."""
     d = LUT_DIMS
     # uvw -> continuous texel coords (centers at i+0.5)
     c = uvw * d - 0.5
@@ -40,6 +63,22 @@ def sample_lut_trilinear(lut: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
     x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
     x1, y1, z1 = i1[..., 0], i1[..., 1], i1[..., 2]
     fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
+
+    if lut.ndim == 2:
+        q0 = lut[(z0 * d + y0) * d + x0]  # (..., 12)
+        q1 = lut[(z1 * d + y0) * d + x0]
+
+        def bil(q):
+            c00 = q[..., 0:3]
+            c10 = q[..., 3:6]
+            c01 = q[..., 6:9]
+            c11 = q[..., 9:12]
+            return (
+                (c00 * (1 - fx) + c10 * fx) * (1 - fy)
+                + (c01 * (1 - fx) + c11 * fx) * fy
+            )
+
+        return bil(q0) * (1 - fz) + bil(q1) * fz
 
     def g(z, y, x):
         return lut[z, y, x]
