@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--fps-limit", type=float, default=0.0,
                    help="cap frame rate like the reference's spin limiter (0 = off)")
     r.add_argument("--profile", action="store_true", help="per-pass timing report")
+    r.add_argument(
+        "--profile-device",
+        action="store_true",
+        help="trace the last frame and print per-op DEVICE times (the "
+        "GPU-timestamp-query analog; wall clock includes host dispatch)",
+    )
     r.add_argument("--platform", default=None, help="force JAX platform (cpu/tpu)")
     return p
 
@@ -315,6 +321,33 @@ def main(argv: list[str] | None = None) -> int:
             target = 1.0 / args.fps_limit
             while (time.time() - t0) < target:
                 pass
+
+    if args.profile_device:
+        from ..utils.profiler import profile_device_ops
+
+        last_f = max(args.frames - 1, 0)
+        ops = profile_device_ops(
+            lambda: render_fn(
+                static=static, frame=frame_dev, arena=arena_dev, cam=cam,
+                lut=lut, width=args.width, height=args.height,
+                exposure=args.exposure, contrast=args.contrast,
+                max_bounces=args.max_bounces, frame_index=last_f,
+                state=state, use_taa=args.taa, use_bloom=args.bloom,
+                use_dof=args.dof, use_culling=args.culling,
+                use_particles=args.particles,
+                bloom_technique=args.bloom_technique,
+                use_transparent=bool((world.materials.alpha_mode == 2).any()),
+                ibl_data=ibl_data, env=env,
+                draw_type=_draw_type_index(args.draw_type),
+                alpha_rounds=2
+                if bool((world.materials.alpha_mode != 0).any())
+                else 0,
+            )[0],
+            lambda x: float(x.mean()),
+        )
+        print(f"{'device op':<70}{'ms':>10}")
+        for name, ms in ops:
+            print(f"{name[:70]:<70}{ms:>10.2f}")
 
     write_png(args.out, np.asarray(img))
     log_info("wrote %s", args.out)

@@ -118,11 +118,23 @@ def spatial_reuse(
     lin_depth = surface["linear_depth"]
     normal = surface["normal_ws"]
     nm = gbuf["normal_metallic"]
-    neighbor_normals = signed_oct_decode(nm[..., :3])
-    neighbor_lin_depth = gbuf["linear_depth"]
+
+    # ONE packed row per neighbor pixel: the rejection loop's per-try
+    # cost is XLA row-gather bound, so depth + oct normal + reservoir
+    # ride in a single (R, 8) gather instead of four
+    neigh_rows = jnp.concatenate(
+        [
+            gbuf["linear_depth"][..., None],
+            nm[..., :3],
+            res_light.astype(jnp.float32)[..., None],
+            res_ucw[..., None],
+            jnp.zeros((R, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
 
     def try_body(_k, carry):
-        state, found, samp_flat = carry
+        state, found, s_li, s_ucw = carry
         trying = ~found
         state_n, u2 = prng.rnd2d01(state)
         state = jnp.where(trying[..., None], state_n, state)
@@ -136,29 +148,36 @@ def spatial_reuse(
         p_flat = jnp.clip(p_y, 0, height - 1) * width + jnp.clip(
             p_x, 0, width - 1
         )
-        nd = neighbor_lin_depth[p_flat]
+        row = neigh_rows[p_flat]  # (R, 8) one gather per try
+        nd = row[..., 0]
         depth_ok = (
             jnp.abs(1.0 - nd / jnp.where(lin_depth != 0, lin_depth, 1.0))
             <= 0.1
         )
-        nrm_ok = _dot(neighbor_normals[p_flat], normal) >= 0.9
+        nrm_ok = _dot(signed_oct_decode(row[..., 1:4]), normal) >= 0.9
         ok = trying & in_bounds & depth_ok & nrm_ok
-        samp_flat = jnp.where(ok, p_flat, samp_flat)
+        s_li = jnp.where(ok, row[..., 4].astype(jnp.int32), s_li)
+        s_ucw = jnp.where(ok, row[..., 5], s_ucw)
         found = found | ok
-        return (state, found, samp_flat)
+        return (state, found, s_li, s_ucw)
 
     samples_li = []
     samples_ucw = []
     samples_found = []
     for _i in range(SPATIAL_SAMPLES):
-        state, found, samp_flat = jax.lax.fori_loop(
+        state, found, s_li, s_ucw = jax.lax.fori_loop(
             0,
             MAX_TRIES,
             try_body,
-            (state, jnp.zeros((R,), bool), jnp.zeros((R,), jnp.int32)),
+            (
+                state,
+                jnp.zeros((R,), bool),
+                jnp.full((R,), -1, jnp.int32),
+                jnp.zeros((R,), jnp.float32),
+            ),
         )
-        samples_li.append(jnp.where(found, res_light[samp_flat], -1))
-        samples_ucw.append(jnp.where(found, res_ucw[samp_flat], 0.0))
+        samples_li.append(jnp.where(found, s_li, -1))
+        samples_ucw.append(jnp.where(found, s_ucw, 0.0))
         samples_found.append(found)
 
     # validSampleCount counts every neighbor that passed the depth/normal

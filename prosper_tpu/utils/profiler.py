@@ -121,3 +121,53 @@ class Profiler:
 
 # global instance, mirroring utils::gProfiler
 gprofiler = Profiler()
+
+
+def device_op_report(trace_dir: str, top_n: int = 20, runs: int = 1):
+    """Per-op DEVICE times from a jax.profiler trace directory.
+
+    The productized form of the xplane analysis that drove the perf
+    work (the reference's per-pass GPU timestamp queries,
+    Profiler.hpp:19-327): wall-clock on this tunneled backend includes
+    ~30-40 ms host dispatch per call, so only xplane events measure
+    kernels truthfully. Returns [(op_name, total_ms / runs)] sorted desc.
+    """
+    import glob
+    import os
+    from collections import defaultdict
+
+    from jax.profiler import ProfileData
+
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        return []
+    data = ProfileData.from_file(paths[0])
+    totals: dict[str, float] = defaultdict(float)
+    for plane in data.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        for line in plane.lines:
+            lname = line.name.lower()
+            if "step" in lname or "xla modules" in lname:
+                continue
+            for ev in line.events:
+                totals[ev.name.split(" = ")[0]] += ev.duration_ns / 1e6
+    out = sorted(totals.items(), key=lambda kv: -kv[1])[:top_n]
+    return [(name, ms / max(runs, 1)) for name, ms in out]
+
+
+def profile_device_ops(fn, force, top_n: int = 20, runs: int = 2,
+                       trace_dir: str = "/tmp/prosper_device_trace"):
+    """Trace `runs` warm calls of fn and return the top device ops."""
+    import shutil
+
+    import jax
+
+    force(fn())  # warm/compile
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(runs):
+            force(fn())
+    return device_op_report(trace_dir, top_n=top_n, runs=runs)
