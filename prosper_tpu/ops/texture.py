@@ -18,22 +18,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _decode4(quads, srgb_mask):
-    """(..., 4) u32 quads -> (..., 4, 4) linear float RGBA per corner."""
+def _decode4(quads, srgb_mask, assume_linear=False):
+    """(..., 4) u32 quads -> (..., 4, 4) linear float RGBA per corner.
+
+    assume_linear statically skips the sRGB pow (12 transcendentals per
+    quad): glTF metallicRoughness and normal maps are ALWAYS linear, so
+    2/3 of material taps never need the decode."""
     p = quads.astype(jnp.uint32)
     r = (p & 0xFF).astype(jnp.float32) / 255.0
     g = ((p >> 8) & 0xFF).astype(jnp.float32) / 255.0
     b = ((p >> 16) & 0xFF).astype(jnp.float32) / 255.0
     a = ((p >> 24) & 0xFF).astype(jnp.float32) / 255.0
     rgb = jnp.stack([r, g, b], axis=-1)  # (..., 4, 3)
-    lin = jnp.where(
-        rgb <= 0.04045, rgb / 12.92, jnp.power((rgb + 0.055) / 1.055, 2.4)
-    )
-    rgb = jnp.where(srgb_mask[..., None, None], lin, rgb)
+    if not assume_linear:
+        lin = jnp.where(
+            rgb <= 0.04045, rgb / 12.92, jnp.power((rgb + 0.055) / 1.055, 2.4)
+        )
+        rgb = jnp.where(srgb_mask[..., None, None], lin, rgb)
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
 
-def _bilinear_entry(arena, entry, uv):
+def _bilinear_entry(arena, entry, uv, assume_linear=False):
     """Bilinear sample given a (R, 4) table entry (off, w, h, flags)."""
     off = entry[..., 0]
     w = entry[..., 1]
@@ -51,7 +56,7 @@ def _bilinear_entry(arena, entry, uv):
     y0 = jnp.mod(v0.astype(jnp.int32), h)
 
     quads = arena["data"][off + y0 * w + x0]  # (R, 4) one row gather
-    t = _decode4(quads, srgb)  # (R, 4, 4): corners 00,10,01,11
+    t = _decode4(quads, srgb, assume_linear)  # (R, 4, 4): 00,10,01,11
     return (
         t[..., 0, :] * (1 - fu) * (1 - fv)
         + t[..., 1, :] * fu * (1 - fv)
@@ -60,21 +65,23 @@ def _bilinear_entry(arena, entry, uv):
     )
 
 
-def sample_bilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, mip):
+def sample_bilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, mip,
+                    assume_linear=False):
     """Bilinear sample at integer mip. tex: (R,) i32 ids, uv: (R, 2)."""
     entry = arena["table"][tex, mip]
-    return _bilinear_entry(arena, entry, uv)
+    return _bilinear_entry(arena, entry, uv, assume_linear)
 
 
-def sample_trilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, lod):
+def sample_trilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, lod,
+                     assume_linear=False):
     """Trilinear sample at fractional lod (clamped per texture)."""
     n_mips = arena["n_mips"][tex].astype(jnp.float32)
     lod = jnp.clip(lod, 0.0, n_mips - 1.0)
     m0 = jnp.floor(lod).astype(jnp.int32)
     m1 = jnp.minimum(m0 + 1, (n_mips - 1.0).astype(jnp.int32))
     f = (lod - m0.astype(jnp.float32))[..., None]
-    s0 = sample_bilinear(arena, tex, uv, m0)
-    s1 = sample_bilinear(arena, tex, uv, m1)
+    s0 = sample_bilinear(arena, tex, uv, m0, assume_linear)
+    s1 = sample_bilinear(arena, tex, uv, m1, assume_linear)
     return s0 * (1 - f) + s1 * f
 
 
@@ -120,16 +127,18 @@ def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv, lod=None):
     i32 = arena["mat_i32"][mat_idx]  # (R, 16)
 
     if lod is None:
-        def tex_sample(tex_ids, entry0):
+        def tex_sample(tex_ids, entry0, linear=False):
             del tex_ids
-            return _bilinear_entry(arena, entry0, uv)
+            return _bilinear_entry(arena, entry0, uv, assume_linear=linear)
     else:
-        def tex_sample(tex_ids, entry0):
+        def tex_sample(tex_ids, entry0, linear=False):
             size = jnp.maximum(entry0[..., 1], entry0[..., 2]).astype(
                 jnp.float32
             )
             lod_t = lod + jnp.log2(jnp.maximum(size, 1.0))
-            return sample_trilinear(arena, tex_ids, uv, lod_t)
+            return sample_trilinear(
+                arena, tex_ids, uv, lod_t, assume_linear=linear
+            )
 
     base = tex_sample(i32[..., 1], i32[..., 4:8]) * f32[..., 0:4]
     alpha_mode = i32[..., 0]
@@ -139,10 +148,11 @@ def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv, lod=None):
         base[..., 3],
         jnp.where((alpha_mode == 1) & (base[..., 3] < cutoff), 0.0, -1.0),
     )
-    mr = tex_sample(i32[..., 2], i32[..., 8:12])
+    # glTF: metallicRoughness and normal maps are always linear
+    mr = tex_sample(i32[..., 2], i32[..., 8:12], linear=True)
     roughness = jnp.maximum(mr[..., 1] * f32[..., 5], 0.05)
     metallic = mr[..., 2] * f32[..., 4]
-    nrm = tex_sample(i32[..., 3], i32[..., 12:16])
+    nrm = tex_sample(i32[..., 3], i32[..., 12:16], linear=True)
     normal_ts = jnp.where(
         (i32[..., 3] > 0)[..., None],
         nrm[..., :3] * 2.0 - 1.0,
@@ -191,20 +201,25 @@ def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv,
     nrm_tex = materials["normal_tex"][mat_idx]
 
     if lod is None:
-        def tex_sample(tex_ids):
-            return _bilinear_entry(arena, arena["table"][tex_ids, 0], uv)
+        def tex_sample(tex_ids, linear=False):
+            return _bilinear_entry(
+                arena, arena["table"][tex_ids, 0], uv, assume_linear=linear
+            )
     elif footprint:
         # lod is a per-ray log2 world-footprint * uv-density; add each
         # texture's own base dimension (see sample_material_packed)
-        def tex_sample(tex_ids):
+        def tex_sample(tex_ids, linear=False):
             e0 = arena["table"][tex_ids, 0]
             size = jnp.maximum(e0[..., 1], e0[..., 2]).astype(jnp.float32)
             return sample_trilinear(
-                arena, tex_ids, uv, lod + jnp.log2(jnp.maximum(size, 1.0))
+                arena, tex_ids, uv, lod + jnp.log2(jnp.maximum(size, 1.0)),
+                assume_linear=linear,
             )
     else:
-        def tex_sample(tex_ids):
-            return sample_trilinear(arena, tex_ids, uv, lod)
+        def tex_sample(tex_ids, linear=False):
+            return sample_trilinear(
+                arena, tex_ids, uv, lod, assume_linear=linear
+            )
 
     base = tex_sample(base_tex) * materials["base_color_factor"][mat_idx]
 
@@ -217,12 +232,13 @@ def sample_material(arena: dict, materials: dict, mat_idx: jnp.ndarray, uv,
         jnp.where((alpha_mode == 1) & (base[..., 3] < cutoff), 0.0, -1.0),
     )
 
-    mr = tex_sample(mr_tex)
+    # glTF: metallicRoughness and normal maps are always linear
+    mr = tex_sample(mr_tex, linear=True)
     roughness = mr[..., 1] * materials["roughness_factor"][mat_idx]
     metallic = mr[..., 2] * materials["metallic_factor"][mat_idx]
     roughness = jnp.maximum(roughness, 0.05)
 
-    nrm = tex_sample(nrm_tex)
+    nrm = tex_sample(nrm_tex, linear=True)
     normal_ts = jnp.where(
         (nrm_tex > 0)[..., None],
         nrm[..., :3] * 2.0 - 1.0,
