@@ -101,7 +101,29 @@ def build_parser() -> argparse.ArgumentParser:
         "GPU-timestamp-query analog; wall clock includes host dispatch)",
     )
     r.add_argument("--platform", default=None, help="force JAX platform (cpu/tpu)")
+    r.add_argument(
+        "--watch",
+        action="store_true",
+        help="shader hot-reload analog (App::recompileShaders): after "
+        "rendering, poll source mtimes and re-render on change — the XLA "
+        "compile cache makes unchanged passes free to 'recompile'",
+    )
     return p
+
+
+def _source_mtimes(root: str) -> dict:
+    """mtime snapshot of the package sources (the recursive res/shader
+    scan analog, App.cpp:248-277)."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith((".py", ".cpp")):
+                p = os.path.join(dirpath, f)
+                try:
+                    out[p] = os.stat(p).st_mtime
+                except OSError:
+                    pass
+    return out
 
 
 def _draw_type_index(name: str) -> int:
@@ -356,6 +378,19 @@ def main(argv: list[str] | None = None) -> int:
 
         dump_texture(img, args.dump_debug)
         log_info("dumped %s(.npy)", args.dump_debug)
+
+    if args.watch:
+        # hot-reload dev loop: wait for a source edit, then re-exec this
+        # render (compile cache keeps unchanged passes warm) — the
+        # polling recompile of App::recompileShaders (App.cpp:235-307)
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        snap = _source_mtimes(pkg_root)
+        log_info("watching %s for changes...", pkg_root)
+        while _source_mtimes(pkg_root) == snap:
+            time.sleep(0.5)
+        log_info("source changed; reloading")
+        os.execv(sys.executable, [sys.executable, "-m", "prosper_tpu.app.cli"]
+                 + (sys.argv[1:] if argv is None else list(argv)))
     return 0
 
 

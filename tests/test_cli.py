@@ -145,3 +145,23 @@ def test_cli_end_to_end_deferred_ibl(tmp_path):
     assert img.shape == (64, 64, 3)
     assert np.isfinite(img.astype(np.float32)).all()
     assert img.std() > 0  # not a blank frame
+
+
+def test_source_mtime_snapshot(tmp_path):
+    """--watch's change detector (App::recompileShaders poll analog)."""
+    import time
+
+    from prosper_tpu.app.cli import _source_mtimes
+
+    (tmp_path / "a.py").write_text("x = 1")
+    (tmp_path / "b.cpp").write_text("int x;")
+    (tmp_path / "ignored.txt").write_text("nope")
+    s1 = _source_mtimes(str(tmp_path))
+    assert len(s1) == 2
+    assert _source_mtimes(str(tmp_path)) == s1
+    time.sleep(0.01)
+    (tmp_path / "a.py").write_text("x = 2")
+    import os
+
+    os.utime(tmp_path / "a.py")
+    assert _source_mtimes(str(tmp_path)) != s1
