@@ -69,24 +69,26 @@ def initial_reservoirs(surface: dict, lights: dict, px, py, frame_index):
     sum_w = jnp.zeros((R,), jnp.float32)
 
     mis = 1.0 / INITIAL_CANDIDATES
+    res_phat = jnp.zeros((R,), jnp.float32)
     for _ in range(INITIAL_CANDIDATES):
         state, u = prng.rnd01(state)
         li = jnp.minimum(
             (u * light_count).astype(jnp.int32),
             (light_count - 1.0).astype(jnp.int32),
         )
-        w = mis * _p_hat(surface, lights, li) * light_count
+        phat = _p_hat(surface, lights, li)
+        w = mis * phat * light_count
         sum_w = sum_w + w
         state, accept_u = prng.rnd01(state)
         accept = accept_u < w / jnp.where(sum_w > 0, sum_w, 1.0)
         res_light = jnp.where(accept, li, res_light)
+        # carry the accepted candidate's pHat: recomputing it after the
+        # loop costs another light gather + BRDF pass over every pixel
+        res_phat = jnp.where(accept, phat, res_phat)
 
     ucw = jnp.where(
         res_light >= 0,
-        sum_w
-        / jnp.maximum(
-            _p_hat(surface, lights, jnp.maximum(res_light, 0)), 1e-20
-        ),
+        sum_w / jnp.maximum(res_phat, 1e-20),
         0.0,
     )
     return res_light, ucw
@@ -186,24 +188,25 @@ def spatial_reuse(
     valid_count = sum(f.astype(jnp.float32) for f in samples_found)
 
     out_light = jnp.full((R,), -1, jnp.int32)
+    out_phat = jnp.zeros((R,), jnp.float32)
     sum_w = jnp.zeros((R,), jnp.float32)
     for li, ucw in zip(samples_li, samples_ucw):
         valid = li >= 0
-        w = jnp.where(
-            valid, _p_hat(surface, lights, jnp.maximum(li, 0)) * ucw, 0.0
-        )
+        phat = _p_hat(surface, lights, jnp.maximum(li, 0))
+        w = jnp.where(valid, phat * ucw, 0.0)
         sum_w = sum_w + w
         # GLSL consumes rnd01 only for valid samples (continue skips it)
         state_n, u = prng.rnd01(state)
         state = jnp.where(valid[..., None], state_n, state)
         accept = valid & (u < w / jnp.where(sum_w > 0, sum_w, 1.0))
         out_light = jnp.where(accept, li, out_light)
+        out_phat = jnp.where(accept, phat, out_phat)  # avoid a recompute
 
     out_ucw = jnp.where(
         out_light >= 0,
         (1.0 / jnp.maximum(valid_count, 1.0))
         * sum_w
-        / jnp.maximum(_p_hat(surface, lights, jnp.maximum(out_light, 0)), 1e-20),
+        / jnp.maximum(out_phat, 1e-20),
         0.0,
     )
     return out_light, out_ucw
