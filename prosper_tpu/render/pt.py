@@ -15,9 +15,17 @@ RNG stream order matches the GLSL call-for-call so fp32 sample streams
 line up: uv jitter (1 advance), [lens (1)], then per bounce: light pick
 (1), bounce pick (1), bounce dir (1), [roulette (1)].
 
-TPU-first structure: all pixels advance in lockstep with an active mask
-(no divergence), bounded static bounce count; rays/hits stay in flat
-(R, ...) SoA arrays resident in HBM.
+TPU-first structure: the primary trace runs dense over all pixels; the
+rest of the frame (surface eval, NEE, bounce traces) runs on a
+tile-compacted wavefront. Pixels are traced in 256-ray tiles (16x16
+screen blocks); tiles with no primary hit are dropped by a prefix-sum
+compaction over TILE-granular masks (cheap: ~R/256 elements), and the
+surviving tiles are processed in fixed-capacity chunks with a DYNAMIC
+chunk count (lax.fori_loop with a traced bound). On sparse scenes this
+removes ~(1 - coverage) of all texture taps, BRDF math and shadow rays;
+on full-coverage scenes it degrades to the dense cost plus a ~ms of
+compaction. This is the TPU analog of the reference megakernel's early
+ray termination (rays that miss never run the hit shader).
 """
 
 from __future__ import annotations
@@ -67,7 +75,7 @@ def pt_trace_pixels(
     clamp_indirect: bool = False,
     env: jnp.ndarray | None = None,
     alpha_rounds: int = 0,
-    wavefront_sort: bool = False,
+    chunk_tiles: int = 1024,
 ):
     """Path-trace an arbitrary flat pixel list -> ((R,3) color, ray count).
 
@@ -77,12 +85,27 @@ def pt_trace_pixels(
     times. The per-ray uniform is fixed per traceRay like the reference's
     payload.randomSeed (scene.rahit:33-38).
 
+    After the dense primary trace, shading and bounces run on a
+    tile-compacted wavefront: 256-ray tiles with no hit are dropped by a
+    prefix-sum over ~R/256 tile flags, and survivors are processed in
+    chunks of `chunk_tiles` tiles with a dynamic lax.fori_loop trip count
+    (see module docstring). Per-pixel RNG streams ride the compaction, so
+    results are bit-identical to the dense loop.
+
     Taking explicit pixel coordinates makes the kernel shardable: each
     device of a mesh traces its own pixel slice (render/distributed.py),
     the multi-chip strategy standing in for the reference's single-GPU
     viewport (SURVEY.md §5 "sharding axes: pixels/tiles/rays").
     """
+    TILE = 256
+    R0 = px.shape[0]
+    pad = (-R0) % TILE
+    if pad:
+        px = jnp.concatenate([px, jnp.broadcast_to(px[:1], (pad,))])
+        py = jnp.concatenate([py, jnp.broadcast_to(py[:1], (pad,))])
     R = px.shape[0]
+    n_tiles = R // TILE
+    CT = min(chunk_tiles, n_tiles)
     width, height = resolution[0], resolution[1]
     state = prng.make_state(px, py, jnp.uint32(frame_index))
 
@@ -128,81 +151,31 @@ def pt_trace_pixels(
         jnp.float32
     )
 
-    color = jnp.zeros((R, 3), jnp.float32)
-    throughput = jnp.ones((R, 3), jnp.float32)
-    active = jnp.ones((R,), bool)
-
-    # One bounce body compiled once and iterated (static trip count):
-    # keeps XLA compile time flat in max_bounces.
-    n_clusters = wc_min.shape[0]
-
-    def bounce_body(bounce, carry):
-        state, color, throughput, active, ray_o, ray_d, ray_tmax, n_rays, origin_cluster = carry
-        n_rays = n_rays + jnp.sum(active.astype(jnp.int32))
-
-        if wavefront_sort:
-            # Round-1 wavefront coherence sort: group bounce rays by
-            # (origin cluster, direction octant). With the in-kernel BVH
-            # descent's per-ray node tests this usually LOSES: the
-            # argsort + permutation gathers cost ~2x what they save
-            # (bounce origins from one 16x16 pixel block stay spatially
-            # local, so packets remain workable unsorted). Kept behind a
-            # flag for flat-kernel runs and perf comparisons.
-            ad = jnp.abs(ray_d)
-            denom = jnp.maximum(ad[:, 0] + ad[:, 1] + ad[:, 2], 1e-20)
-            ox_ = ray_d[:, 0] / denom
-            oy_ = ray_d[:, 1] / denom
-            # fold lower hemisphere (signed octahedral)
-            fold = ray_d[:, 2] < 0.0
-            ox2 = jnp.where(fold, (1.0 - jnp.abs(oy_)) * jnp.sign(ox_), ox_)
-            oy2 = jnp.where(fold, (1.0 - jnp.abs(ox_)) * jnp.sign(oy_), oy_)
-            bx = jnp.clip(((ox2 * 0.5 + 0.5) * 8).astype(jnp.int32), 0, 7)
-            by = jnp.clip(((oy2 * 0.5 + 0.5) * 8).astype(jnp.int32), 0, 7)
-            octant = (
-                (bx * 8 + by) * 2 + fold.astype(jnp.int32)
-            )  # 128 direction bins
-            key = jnp.where(
-                active, origin_cluster * 128 + octant, 128 * n_clusters + 1
-            )
-            key = jnp.where(
-                bounce > 0, key, jnp.arange(key.shape[0], dtype=jnp.int32)
-            )
-            perm = jnp.argsort(key, stable=True)
-            # scatter inverse: cheaper than a second argsort
-            inv_perm = (
-                jnp.zeros_like(perm)
-                .at[perm]
-                .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
-            )
-            o_p, d_p, tmax_p = ray_o[perm], ray_d[perm], ray_tmax[perm]
-        else:
-            perm = inv_perm = None
-            o_p, d_p, tmax_p = ray_o, ray_d, ray_tmax
-        hit = trace_closest_fn(o_p, d_p, 0.0, tmax_p)
+    def trace_with_alpha(state, o, d, tmax):
+        """traceRay + the stochastic any-hit retrace loop (scene.rahit)."""
+        hit = trace_closest_fn(o, d, 0.0, tmax)
         if alpha_rounds and use_full_kernel:
             from ..ops.texture import sample_alpha_packed
 
             # fixed per-ray uniform: pcg(state.x ^ state.z) (no advance),
             # the payload.randomSeed convention
             seed = prng.pcg(state[..., 0] ^ state[..., 2])
-            if perm is not None:
-                seed = seed[perm]
             au = prng.rng_to01(seed)
             t_off = jnp.zeros_like(hit["t"])
-            o_cur = o_p
-            tmax_cur = tmax_p
+            o_cur = o
+            tmax_cur = tmax
             for _ in range(alpha_rounds):
                 a = sample_alpha_packed(arena, hit["material"], hit["uv"])
                 ignore = (hit["tri"] >= 0) & (
                     (a == 0.0) | ((a > 0.0) & (au > a))
                 )
                 adv = jnp.where(ignore, hit["t"] * (1.0 + 1e-4) + 1e-5, 0.0)
-                o_cur = o_cur + d_p * adv[..., None]
+                o_cur = o_cur + d * adv[..., None]
                 tmax_cur = jnp.where(
                     ignore, jnp.maximum(tmax_cur - adv, 0.0), 0.0
                 )
                 t_off = t_off + adv
-                hit2 = trace_closest_fn(o_cur, d_p, 0.0, tmax_cur)
+                hit2 = trace_closest_fn(o_cur, d, 0.0, tmax_cur)
                 hit = {
                     k: jnp.where(
                         ignore.reshape(
@@ -214,21 +187,28 @@ def pt_trace_pixels(
                     for k in hit
                 }
             hit["t"] = hit["t"] + t_off
-        if inv_perm is not None:
-            hit = {k: v[inv_perm] for k, v in hit.items()}
-        hit_valid = (hit["tri"] >= 0) & active
-        # IBL skybox on miss (main.rgen:246-254)
-        if env is not None:
-            from ..ops.ibl import sample_cubemap
+        return hit
 
-            missed = active & (hit["tri"] < 0)
-            sky = throughput * sample_cubemap(env, ray_d)
-            sky_contrib = jnp.where(missed[..., None], sky, 0.0)
-            if clamp_indirect:
-                sky_contrib = jnp.where(
-                    bounce > 0, jnp.clip(sky_contrib, 0.0, 2.0), sky_contrib
-                )
-            color = color + sky_contrib
+    def miss_hit_like(hit, tmax):
+        out = {}
+        for k, v in hit.items():
+            if k == "t":
+                out[k] = tmax
+            elif k == "tri":
+                out[k] = jnp.full_like(v, -1)
+            else:
+                out[k] = jnp.zeros_like(v)
+        return out
+
+    def shade_and_bounce(bounce, state, color, throughput, active, ray_o,
+                         ray_d, hit, n_shadow):
+        """Shade one wavefront's hits + generate its bounce rays.
+
+        `bounce` is the hit's bounce index (0 = primary). Everything is
+        math-identical to the reference per-pixel loop body
+        (main.rgen:196-276); see the RNG-parity notes in the docstrings.
+        """
+        hit_valid = (hit["tri"] >= 0) & active
         if use_full_kernel:
             from .surface import evaluate_surface_from_attrs
 
@@ -250,23 +230,22 @@ def pt_trace_pixels(
             (pick * light_count).astype(jnp.uint32),
             (light_count - 1.0).astype(jnp.uint32),
         ).astype(jnp.int32)
-        l, dist, irradiance = sample_light(lights, light_index, surface["position_ws"])
+        l, dist, irradiance = sample_light(
+            lights, light_index, surface["position_ws"]
+        )
         front = _dot(l, surface["normal_ws"]) > 0.0
         need_shadow = hit_valid & front & (surface["alpha"] != 0.0)
         # Rays that don't need a shadow keep a finite origin/direction
         # (miss rays have inf positions that would poison packet bounds)
         # and are disabled via t_max = 0, which keeps the conservative
         # cull tight instead of degenerating to all-clusters.
-        shadow_o = jnp.where(need_shadow[..., None], surface["position_ws"], ray_o)
+        shadow_o = jnp.where(
+            need_shadow[..., None], surface["position_ws"], ray_o
+        )
         shadow_d = jnp.where(need_shadow[..., None], l, ray_d)
         shadow_tmax = jnp.where(need_shadow, dist, 0.0)
-        if perm is not None:
-            occluded = trace_any_fn(
-                shadow_o[perm], shadow_d[perm], 0.1, shadow_tmax[perm]
-            )[inv_perm]
-        else:
-            occluded = trace_any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
-        n_rays = n_rays + jnp.sum(need_shadow.astype(jnp.int32))
+        occluded = trace_any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
+        n_shadow = n_shadow + jnp.sum(need_shadow.astype(jnp.int32))
         vis = jnp.where(need_shadow & ~occluded, 1.0, 0.0)
         direct = (
             throughput
@@ -284,7 +263,9 @@ def pt_trace_pixels(
         )
         contrib = jnp.where(hit_valid[..., None], direct, 0.0)
         if clamp_indirect:
-            contrib = jnp.where(bounce > 0, jnp.clip(contrib, 0.0, 2.0), contrib)
+            contrib = jnp.where(
+                bounce > 0, jnp.clip(contrib, 0.0, 2.0), contrib
+            )
         color = color + contrib
 
         # ---- bounce importance sampling (main.rgen:92-144) ----
@@ -297,7 +278,9 @@ def pt_trace_pixels(
         pick_diffuse = pick_u < diffuse_weight
 
         basis = orthonormal_basis(surface["normal_ws"])  # (R, 3, 3)
-        v_basis = jnp.einsum("...ij,...j->...i", basis, surface["inv_view_ray"])
+        v_basis = jnp.einsum(
+            "...ij,...j->...i", basis, surface["inv_view_ray"]
+        )
         alpha = surface["roughness"] * surface["roughness"]
 
         # diffuse branch
@@ -332,7 +315,9 @@ def pt_trace_pixels(
         # operand on GPUs, so NaN/inf-pdf samples become 0 — emulate that
         # (jnp.maximum would propagate the NaN instead).
         w = jnp.where((w_raw >= 0.0) & jnp.isfinite(w_raw), w_raw, 0.0)
-        throughput = jnp.where(hit_valid[..., None], throughput * w, throughput)
+        throughput = jnp.where(
+            hit_valid[..., None], throughput * w, throughput
+        )
 
         # ---- Russian roulette (main.rgen:270-276) ----
         # The GLSL advances the RNG only when bounce > rouletteStartBounce;
@@ -353,33 +338,105 @@ def pt_trace_pixels(
             ray_o,
         )
         ray_d = jnp.where(active[..., None], rd, ray_d)
-        ray_tmax = jnp.where(active, jnp.inf, 0.0)
-        origin_cluster = jnp.maximum(hit["tri"], 0) // trace.CLUSTER_PAD
-        return (
-            state,
-            color,
-            throughput,
-            active,
-            ray_o,
-            ray_d,
-            ray_tmax,
-            n_rays,
-            origin_cluster,
+        return state, color, throughput, active, ray_o, ray_d, n_shadow
+
+    # ---- dense primary trace over all pixels ----
+    lane_real = (
+        jnp.arange(R, dtype=jnp.int32) < R0
+        if pad
+        else jnp.ones((R,), bool)
+    )
+    tmax0 = jnp.where(lane_real, jnp.inf, 0.0)
+    n_rays = jnp.sum(lane_real.astype(jnp.int32))
+    hit0 = trace_with_alpha(state, ray_o, ray_d, tmax0)
+
+    color_full = jnp.zeros((R, 3), jnp.float32)
+    if env is not None:
+        from ..ops.ibl import sample_cubemap
+
+        missed = lane_real & (hit0["tri"] < 0)
+        color_full = jnp.where(
+            missed[..., None], sample_cubemap(env, ray_d), 0.0
         )
 
-    carry = (
-        state,
-        color,
-        throughput,
-        active,
-        ray_o,
-        ray_d,
-        jnp.full((R,), jnp.inf, jnp.float32),
-        jnp.int32(0),
-        jnp.zeros((R,), jnp.int32),
+    # ---- tile compaction: keep 256-ray tiles containing any hit ----
+    hit_lane = (hit0["tri"] >= 0) & lane_real
+    tile_any = jnp.any(hit_lane.reshape(n_tiles, TILE), axis=1)
+    tidx = jnp.nonzero(tile_any, size=n_tiles, fill_value=n_tiles)[0].astype(
+        jnp.int32
     )
-    carry = jax.lax.fori_loop(0, max_bounces, bounce_body, carry, unroll=1)
-    return carry[1], carry[7]
+    tcount = jnp.sum(tile_any.astype(jnp.int32))
+    n_chunks = (tcount + CT - 1) // CT
+
+    def tgather(a, slc):
+        at = a.reshape((n_tiles, TILE) + a.shape[1:])
+        return at[slc].reshape((CT * TILE,) + a.shape[1:])
+
+    def chunk_body(ci, carry):
+        color_full, n_rays = carry
+        sl = jax.lax.dynamic_slice(tidx, (ci * CT,), (CT,))
+        tile_ok = sl < n_tiles
+        slc = jnp.minimum(sl, n_tiles - 1)
+        lane_ok = jnp.repeat(tile_ok, TILE)
+
+        c_state = tgather(state, slc)
+        c_o = tgather(ray_o, slc)
+        c_d = tgather(ray_d, slc)
+        c_hit = {k: tgather(v, slc) for k, v in hit0.items()}
+        c_active = (c_hit["tri"] >= 0) & lane_ok & tgather(lane_real, slc)
+        c_color = jnp.zeros((CT * TILE, 3), jnp.float32)
+        c_thr = jnp.ones((CT * TILE, 3), jnp.float32)
+        n_extra = jnp.int32(0)
+
+        def bounce_body(b, bc):
+            (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit,
+             n_extra) = bc
+            (c_state, c_color, c_thr, c_active, c_o, c_d,
+             n_extra) = shade_and_bounce(
+                b, c_state, c_color, c_thr, c_active, c_o, c_d, c_hit,
+                n_extra,
+            )
+            c_tmax = jnp.where(c_active, jnp.inf, 0.0)
+            more = b + 1 < max_bounces
+            n_extra = n_extra + jnp.where(
+                more, jnp.sum(c_active.astype(jnp.int32)), 0
+            )
+            c_hit = jax.lax.cond(
+                more,
+                lambda a: trace_with_alpha(*a),
+                lambda a: miss_hit_like(c_hit, a[3]),
+                (c_state, c_o, c_d, c_tmax),
+            )
+            if env is not None:
+                from ..ops.ibl import sample_cubemap
+
+                b_miss = c_active & (c_hit["tri"] < 0) & more
+                sky = c_thr * sample_cubemap(env, c_d)
+                sky_contrib = jnp.where(b_miss[..., None], sky, 0.0)
+                if clamp_indirect:
+                    # every in-chunk trace is bounce >= 1
+                    sky_contrib = jnp.clip(sky_contrib, 0.0, 2.0)
+                c_color = c_color + sky_contrib
+            return (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit,
+                    n_extra)
+
+        bc = (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit, n_extra)
+        bc = jax.lax.fori_loop(0, max_bounces, bounce_body, bc, unroll=1)
+        c_color, n_extra = bc[1], bc[7]
+
+        c_color = jnp.where(lane_ok[..., None], c_color, 0.0)
+        color_full = (
+            color_full.reshape(n_tiles, TILE, 3)
+            .at[slc]
+            .add(c_color.reshape(CT, TILE, 3))
+            .reshape(R, 3)
+        )
+        return color_full, n_rays + n_extra
+
+    color_full, n_rays = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, (color_full, n_rays)
+    )
+    return color_full[:R0], n_rays
 
 
 @partial(
@@ -392,7 +449,6 @@ def pt_trace_pixels(
         "clamp_indirect",
         "return_stats",
         "alpha_rounds",
-        "wavefront_sort",
     ),
 )
 def pt_render_sample(
@@ -409,7 +465,6 @@ def pt_render_sample(
     return_stats: bool = False,
     env: jnp.ndarray | None = None,
     alpha_rounds: int = 0,
-    wavefront_sort: bool = False,
 ):
     """One full-frame 1-spp sample pass -> (H*W, 3) linear color in
     row-major pixel order (+ ray count when return_stats).
@@ -433,7 +488,6 @@ def pt_render_sample(
         clamp_indirect,
         env,
         alpha_rounds,
-        wavefront_sort,
     )
     color = color[jnp.asarray(inv_np)]
     if return_stats:
