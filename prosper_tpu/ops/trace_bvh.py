@@ -39,6 +39,8 @@ would pad every row to 128 lanes). Leaves hold exactly one cluster
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -48,6 +50,8 @@ from .trace import CLUSTER_PAD, TILE, _pad_rays
 from .trace_pallas import _moller_block
 
 STACK_CAP = 64  # >= bvh depth + 2; median-split depth is ~log2(C) + 1
+DEBUG_VISITS = False  # plain-closest writes per-tile leaf-visit counts
+# into output row 7 (perf diagnosis only; see scripts/bench_bounce.py)
 ROWS_FULL = 40  # fused-attribute slab rows (ops/trace_pallas_full.py)
 ROWS_PLAIN = 9  # geometry-only slab rows (ops/trace_pallas.py)
 TILES_PER_STEP = 8  # ray tiles processed per grid step
@@ -55,9 +59,11 @@ _INF = 3e38  # python float: jnp constants would be captured by kernels
 _NROWS = TILE // 128  # ray rows in (NROWS, 128) layout
 
 
-def _prep_bvh(ray_o, ray_d, t_max):
+def _prep_bvh(ray_o, ray_d, t_max, perm=None):
     """Pad rays to TILES_PER_STEP*TILE multiples and build per-tile
-    column + row data.
+    column + row data. `perm` applies a ray permutation with ONE fused
+    (R, 7) row gather (callers sorting rays for packet coherence would
+    otherwise pay 3-4 separate gathers).
 
     Returns (R, R_out, n_steps, o_col, d_col, tmax_col, rowdata) where
     rowdata is (T, 16, 128) f32 with row pairs:
@@ -65,6 +71,13 @@ def _prep_bvh(ray_o, ray_d, t_max):
       12-13 tmax | 14-15 pad.
     """
     t_max_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
+    if perm is not None:
+        feat0 = jnp.concatenate(
+            [ray_o, ray_d, t_max_full[:, None]], axis=1
+        )[perm]
+        ray_o = feat0[:, 0:3]
+        ray_d = feat0[:, 3:6]
+        t_max_full = feat0[:, 6]
     ray_o, ray_d, R_out = _pad_rays(ray_o, ray_d)
     pad2 = (-ray_o.shape[0]) % (TILES_PER_STEP * TILE)
     if pad2:
@@ -371,7 +384,18 @@ def _closest_body(fused):
                         jnp.zeros((TILE, 1), jnp.float32),
                     )
                     state = jax.lax.while_loop(cond, body, init)
-                    _, _, _, best_t, _, best_tri, best_u, best_v = state
+                    j_, _, _, best_t, _, best_tri, best_u, best_v = state
+                    pad_rows = jnp.zeros((TILE, 4), jnp.float32)
+                    if DEBUG_VISITS:
+                        pad_rows = jnp.concatenate(
+                            [
+                                jnp.zeros((TILE, 3), jnp.float32),
+                                jnp.full(
+                                    (TILE, 1), 1.0, jnp.float32
+                                ) * j_.astype(jnp.float32),
+                            ],
+                            axis=1,
+                        )
                     out[k] = jnp.transpose(
                         jnp.concatenate(
                             [
@@ -379,7 +403,7 @@ def _closest_body(fused):
                                 best_tri.astype(jnp.float32),
                                 best_u,
                                 best_v,
-                                jnp.zeros((TILE, 4), jnp.float32),
+                                pad_rows,
                             ],
                             axis=1,
                         ),
@@ -478,7 +502,7 @@ def trace_closest_bvh(
     }
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("packed",))
 def trace_closest_bvh_full(
     tris_packed: jnp.ndarray,  # (C, 40, 128)
     bounds: jnp.ndarray,
@@ -487,11 +511,18 @@ def trace_closest_bvh_full(
     ray_d: jnp.ndarray,
     t_min,
     t_max,
+    perm=None,
+    packed: bool = False,
 ):
     """BVH closest-hit + fused world-space attribute interpolation; same
-    contract as ops/trace_pallas_full.trace_closest_full."""
+    contract as ops/trace_pallas_full.trace_closest_full.
+
+    perm: optional ray sort permutation fused into ray prep (results come
+    back in SORTED order). packed=True returns the raw (R, 16) rows so a
+    caller inverting a sort pays one gather instead of seven.
+    """
     del t_min
-    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max)
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
@@ -515,6 +546,13 @@ def trace_closest_bvh_full(
         ],
     )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
     out = out.transpose(0, 2, 1).reshape(R, 16)[:R_out]
+    if packed:
+        return out
+    return unpack_hit16(out)
+
+
+def unpack_hit16(out):
+    """(R, 16) packed closest-full rows -> hit dict (see above)."""
     return {
         "t": out[:, 0],
         "tri": out[:, 1].astype(jnp.int32),
@@ -615,10 +653,13 @@ def trace_any_bvh(
     ray_d: jnp.ndarray,
     t_min,
     t_max,
+    perm=None,
 ):
-    """BVH any-hit (shadow rays): occluded mask, per-ray termination."""
+    """BVH any-hit (shadow rays): occluded mask, per-ray termination.
+    perm: optional ray sort permutation fused into ray prep (occlusion
+    mask comes back in SORTED order)."""
     del t_min
-    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max)
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),

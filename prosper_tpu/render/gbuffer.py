@@ -168,15 +168,46 @@ def render_gbuffer(
     from .surface import pixel_cone_alpha
 
     cone = {"alpha": pixel_cone_alpha(cam, height), "bias": lod_bias}
-    if use_full:
-        from .surface import evaluate_surface_from_attrs
 
-        surface = evaluate_surface_from_attrs(arena, o, d, hit, cone=cone)
-    else:
-        surface = evaluate_surface(
-            static_scene, frame, arena, o, d, hit, cone=cone
+    # surface eval (incl. the trilinear material taps, the deferred
+    # frame's #1 texture cost) runs only on 256-lane tiles containing a
+    # hit: on sparse views this skips ~(1-coverage) of the arena gathers
+    from ..ops.compact import tile_apply
+
+    valid = hit["tri"] >= 0
+    pad = (-o.shape[0]) % 256
+
+    def _pad(a):
+        return (
+            jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            if pad
+            else a
         )
-    valid = surface["valid"]
+
+    def _eval(c_in, lane_ok):
+        o_c, d_c, hit_c = c_in
+        if use_full:
+            from .surface import evaluate_surface_from_attrs
+
+            s = evaluate_surface_from_attrs(arena, o_c, d_c, hit_c, cone=cone)
+        else:
+            s = evaluate_surface(
+                static_scene, frame, arena, o_c, d_c, hit_c, cone=cone
+            )
+        s.pop("valid")
+        s.pop("instance", None)
+        return s
+
+    surface = tile_apply(
+        _pad(valid), _eval, (_pad(o), _pad(d), {k: _pad(v) for k, v in hit.items()})
+    )
+    if pad:
+        surface = {k: v[:-pad] for k, v in surface.items()}
+    surface["valid"] = valid
+    # safe default normal on misses (signed-oct encode of 0 would be NaN)
+    surface["normal_ws"] = jnp.where(
+        valid[..., None], surface["normal_ws"], jnp.array([0.0, 0.0, 1.0])
+    )
 
     pos = surface["position_ws"]
     pos_safe = jnp.where(valid[..., None], pos, 0.0)
