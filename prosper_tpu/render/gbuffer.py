@@ -156,13 +156,32 @@ def render_gbuffer(
             "rasterized_triangles": cull1["rasterized_triangles"],
         }
     else:
-        hit = make_closest(
-            frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
-        )(o, d, 1e-4, jnp.inf)
+        if use_full and bvh is not None:
+            # packed hit rows: ONE (R, 16) inverse-permutation gather to
+            # row-major instead of seven per-field gathers
+            from ..ops.trace_bvh import unpack_hit16
 
-    hit = {k: v[inv] for k, v in hit.items()}
-    o = o[inv]
-    d = d[inv]
+            h16 = make_closest(None, None)(o, d, 1e-4, jnp.inf, packed=True)
+            hit = unpack_hit16(h16[inv])
+        else:
+            hit = make_closest(
+                frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
+            )(o, d, 1e-4, jnp.inf)
+            hit = {k: v[inv] for k, v in hit.items()}
+    if use_culling:
+        hit = {k: v[inv] for k, v in hit.items()}
+    # rays in row-major order: recomputed elementwise (cheaper than two
+    # 2M-row permutation gathers of the block-order rays)
+    uv_rm = jnp.stack(
+        [
+            (jnp.tile(jnp.arange(width, dtype=jnp.float32), height) + 0.5)
+            / width,
+            (jnp.repeat(jnp.arange(height, dtype=jnp.float32), width) + 0.5)
+            / height,
+        ],
+        axis=-1,
+    )
+    o, d = pinhole_rays(cam, uv_rm + jit * jnp.array([0.5, -0.5]))
     # ray-cone mip selection: the raster path's derivative LOD analog,
     # lodBias -1 under TAA (Renderer.cpp:709-715)
     from .surface import pixel_cone_alpha

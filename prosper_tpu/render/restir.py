@@ -101,39 +101,41 @@ def _uniform_sample_disk(u):
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
 
 
-def spatial_reuse(
-    surface: dict,
-    lights: dict,
-    res_light: jnp.ndarray,
-    res_ucw: jnp.ndarray,
-    gbuf: dict,
-    px,
-    py,
-    width: int,
-    height: int,
-    frame_index,
-):
-    """Biased spatial reuse (spatial_reuse.comp)."""
-    state = prng.make_state(px, py, jnp.uint32(frame_index))
-    R = px.shape[0]
-
-    lin_depth = surface["linear_depth"]
-    normal = surface["normal_ws"]
-    nm = gbuf["normal_metallic"]
-
-    # ONE packed row per neighbor pixel: the rejection loop's per-try
-    # cost is XLA row-gather bound, so depth + oct normal + reservoir
-    # ride in a single (R, 8) gather instead of four
-    neigh_rows = jnp.concatenate(
+def pack_neighbor_rows(gbuf: dict, res_light, res_ucw):
+    """ONE packed row per pixel for the spatial rejection loop: depth +
+    oct normal + reservoir ride in a single (R, 8) gather instead of
+    four. Full-size (neighbors may live outside the compacted tiles)."""
+    R = res_light.shape[0]
+    return jnp.concatenate(
         [
             gbuf["linear_depth"][..., None],
-            nm[..., :3],
+            gbuf["normal_metallic"][..., :3],
             res_light.astype(jnp.float32)[..., None],
             res_ucw[..., None],
             jnp.zeros((R, 2), jnp.float32),
         ],
         axis=-1,
     )
+
+
+def spatial_reuse(
+    surface: dict,
+    lights: dict,
+    neigh_rows: jnp.ndarray,
+    px,
+    py,
+    width: int,
+    height: int,
+    frame_index,
+):
+    """Biased spatial reuse (spatial_reuse.comp). `neigh_rows` is the
+    FULL-size pack_neighbor_rows image; everything else may be a
+    tile-compacted chunk."""
+    state = prng.make_state(px, py, jnp.uint32(frame_index))
+    R = px.shape[0]
+
+    lin_depth = surface["linear_depth"]
+    normal = surface["normal_ws"]
 
     def try_body(_k, carry):
         state, found, s_li, s_ucw = carry
@@ -280,14 +282,55 @@ def render_restir(
     px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
     py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
     lights = frame["lights"]
-
-    li0, ucw0 = initial_reservoirs(surface, lights, px, py, frame_index)
-    li0 = jnp.where(gbuf["valid"], li0, -1)
-    li1, ucw1 = spatial_reuse(
-        surface, lights, li0, ucw0, gbuf2, px, py, width, height, frame_index
-    )
     tris = trace.world_triangles(static_scene, frame)
-    color = restir_shade(surface, lights, li1, ucw1, tris, frame)
+
+    # All three ReSTIR stages run tile-compacted on the G-buffer's valid
+    # mask (ops/compact.tile_apply): the 5-candidate RIS light gathers,
+    # the 5x5 spatial rejection-loop neighbor gathers and the final
+    # traced shading only touch 256-pixel tiles containing geometry. The
+    # spatial pass still READS neighbor reservoirs from the full-size
+    # packed image, so cross-tile reuse is unchanged; empty-tile pixels
+    # keep lightIndex -1 exactly like the dense pass (per-pixel RNG
+    # streams ride the compaction -> bit-identical results).
+    from ..ops.compact import tile_apply
+
+    valid = gbuf["valid"]
+    pad = (-px.shape[0]) % 256
+
+    def _pad(a):
+        return (
+            jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            if pad
+            else a
+        )
+
+    surface_p = {k: _pad(v) for k, v in surface.items()}
+    in_p = (surface_p, _pad(px), _pad(py))
+    valid_p = _pad(valid)
+
+    def _initial(c_in, lane_ok):
+        c_surface, c_px, c_py = c_in
+        li, ucw = initial_reservoirs(c_surface, lights, c_px, c_py, frame_index)
+        return {"li": jnp.where(lane_ok, li, -1), "ucw": ucw}
+
+    r0 = tile_apply(valid_p, _initial, in_p)
+    li0 = jnp.where(valid_p, r0["li"], -1)[: px.shape[0]]
+    ucw0 = r0["ucw"][: px.shape[0]]
+
+    neigh_rows = pack_neighbor_rows(gbuf2, li0, ucw0)
+
+    def _spatial_shade(c_in, lane_ok):
+        c_surface, c_px, c_py = c_in
+        li1, ucw1 = spatial_reuse(
+            c_surface, lights, neigh_rows, c_px, c_py,
+            width, height, frame_index,
+        )
+        c_surface = dict(c_surface)
+        c_surface["valid"] = lane_ok
+        color = restir_shade(c_surface, lights, li1, ucw1, tris, frame)
+        return color
+
+    color = tile_apply(valid_p, _spatial_shade, in_p)[: px.shape[0]]
     img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
     return img, color
 
