@@ -236,7 +236,24 @@ def restir_shade(
         frame["wc_aabb_max_w"],
         bvh=trace.frame_bvh(frame),
     )
-    occluded = any_fn(shadow_o, shadow_d, 0.1, jnp.where(valid, dist, 0.0))
+    shadow_tmax = jnp.where(valid, dist, 0.0)
+    import jax
+
+    if jax.default_backend() != "cpu" and trace.frame_bvh(frame) is not None:
+        # rays toward the SAME light form a convergent cone: sorting by
+        # the winning light id turns the 1024-random-light shadow batch
+        # from worst-case divergent packets into coherent ones (the sort
+        # permutation is fused into the kernel's ray prep)
+        key = jnp.where(valid, li, jnp.int32(2**30))
+        perm = jnp.argsort(key)
+        inv = (
+            jnp.zeros_like(perm)
+            .at[perm]
+            .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
+        )
+        occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm)[inv]
+    else:
+        occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
     vis = jnp.where(valid & ~occluded, 1.0, 0.0)
     color = (
         irr
