@@ -22,7 +22,7 @@ import jax.numpy as jnp
 TILE = 256
 
 
-def tile_apply(mask, fn, inputs, out_like=None, chunk_tiles: int = 1024):
+def tile_apply(mask, fn, inputs, out_like=None, chunk_tiles: int = 512):
     """Apply `fn` to the 256-lane tiles of `inputs` selected by `mask`.
 
     mask: (R,) bool — lanes that need work; tiles with no set lane are

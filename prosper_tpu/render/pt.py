@@ -75,7 +75,7 @@ def pt_trace_pixels(
     clamp_indirect: bool = False,
     env: jnp.ndarray | None = None,
     alpha_rounds: int = 0,
-    chunk_tiles: int = 1024,
+    chunk_tiles: int = 512,
 ):
     """Path-trace an arbitrary flat pixel list -> ((R,3) color, ray count).
 
