@@ -102,6 +102,25 @@ def block_pixel_order(width: int, height: int, block: int = 16):
     return px, py, inverse
 
 
+def block_inverse16(width: int, height: int, block: int = 16):
+    """Segment-level inverse of block_pixel_order: row-major 16-pixel
+    segment s is block-order segment inv16[s]. Valid because every 16
+    consecutive block-order lanes are one within-block x-run = 16
+    consecutive row-major pixels (requires width % 16 == 0). Permuting
+    (R//16, 16, ...) rows costs 1/16th of the per-pixel gather.
+    """
+    assert width % 16 == 0, width
+    _, _, inverse = block_pixel_order(width, height, block)
+    return (inverse[::16] // 16).astype(inverse.dtype)
+
+
+def permute16(a, inv16):
+    """Apply a segment-level permutation (block_inverse16) to (R, ...)."""
+    R = a.shape[0]
+    seg = a.reshape((R // 16, 16) + a.shape[1:])
+    return seg[inv16].reshape(a.shape)
+
+
 def _pad_rays(ray_o, ray_d):
     """Pad ray count to a TILE multiple with miss-guaranteed dummy rays.
 

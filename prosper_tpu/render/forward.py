@@ -90,7 +90,7 @@ def render_forward(
     """One forward frame -> (H, W, 3) display-encoded image."""
     # pixel-center rays (no jitter for the still-frame golden), traced
     # in 16x16-block order then scattered back to row-major
-    px_np, py_np, inv_np = trace.block_pixel_order(width, height)
+    px_np, py_np, _inv_np = trace.block_pixel_order(width, height)
     uv = jnp.stack(
         [
             (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
@@ -121,10 +121,10 @@ def render_forward(
             bvh=trace.frame_bvh(frame),
         )
     hit = closest_fn(o, d, 1e-4, jnp.inf)
-    inv = jnp.asarray(inv_np)
-    hit = {k: v[inv] for k, v in hit.items()}
-    o = o[inv]
-    d = d[inv]
+    inv16 = jnp.asarray(trace.block_inverse16(width, height))
+    hit = {k: trace.permute16(v, inv16) for k, v in hit.items()}
+    o = trace.permute16(o, inv16)
+    d = trace.permute16(d, inv16)
     from .surface import pixel_cone_alpha
 
     cone = {"alpha": pixel_cone_alpha(cam, height), "bias": 0.0}

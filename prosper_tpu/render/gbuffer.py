@@ -95,6 +95,7 @@ def render_gbuffer(
 
             return partial(trace.trace_closest, tris, mn, mx)
     inv = jnp.asarray(inv_np)
+    inv16 = jnp.asarray(trace.block_inverse16(width, height))
     stats = {}
     hiz_mips = None
     if use_culling:
@@ -125,7 +126,7 @@ def render_gbuffer(
         ph = jnp.concatenate([pos1, jnp.ones_like(pos1[..., :1])], -1)
         clip = ph @ w2clip.T
         depth1 = jnp.where(hit["tri"] >= 0, clip[..., 2] / clip[..., 3], 0.0)
-        depth_img = depth1[inv].reshape(height, width)
+        depth_img = trace.permute16(depth1, inv16).reshape(height, width)
         hiz_mips = build_hiz(depth_img, width, height)
 
         # phase 2: disoccluded clusters only
@@ -162,14 +163,14 @@ def render_gbuffer(
             from ..ops.trace_bvh import unpack_hit16
 
             h16 = make_closest(None, None)(o, d, 1e-4, jnp.inf, packed=True)
-            hit = unpack_hit16(h16[inv])
+            hit = unpack_hit16(trace.permute16(h16, inv16))
         else:
             hit = make_closest(
                 frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
             )(o, d, 1e-4, jnp.inf)
-            hit = {k: v[inv] for k, v in hit.items()}
+            hit = {k: trace.permute16(v, inv16) for k, v in hit.items()}
     if use_culling:
-        hit = {k: v[inv] for k, v in hit.items()}
+        hit = {k: trace.permute16(v, inv16) for k, v in hit.items()}
     # rays in row-major order: recomputed elementwise (cheaper than two
     # 2M-row permutation gathers of the block-order rays)
     uv_rm = jnp.stack(
