@@ -103,6 +103,30 @@ def main() -> int:
         and bool(jnp.all(jnp.isfinite(jnp.where(sel[:, None], full["normal"], 0.0)))),
     )
 
+    # ---- per-ray threaded-BVH walk (experimental; ops/trace_wavefront)
+    from prosper_tpu.accel.bvh import pack_threaded
+    from prosper_tpu.ops.trace_wavefront import walk_leaves, walk_leaves_ref
+
+    bvh_obj = build_bvh(
+        np.asarray(frame["wc_aabb_min_w"]),
+        np.asarray(frame["wc_aabb_max_w"]),
+        max_leaf_size=1,
+    )
+    ttab = pack_threaded(bvh_obj)
+    o_w = np.asarray(o[:256])
+    d_w = np.asarray(d[:256])
+    tm_w = np.full(256, np.inf, np.float32)
+    lv, cnt = walk_leaves(jnp.asarray(ttab), jnp.asarray(o_w),
+                          jnp.asarray(d_w), jnp.asarray(tm_w))
+    lv_ref, cnt_ref = walk_leaves_ref(ttab, o_w, d_w, tm_w)
+    lv, cnt = np.asarray(lv)[:256], np.asarray(cnt)[:256]
+    big = 10**6
+    sets_ok = np.array_equal(
+        np.sort(np.where(lv < 0, big, lv), 1),
+        np.sort(np.where(lv_ref < 0, big, lv_ref), 1),
+    )
+    check("walk_leaves", bool((cnt == cnt_ref).all()) and sets_ok)
+
     # ---- tile-major clustered shading vs XLA froxel path ----
     from prosper_tpu.ops import clustering
     from prosper_tpu.ops.shade_tiles import shade_clustered_tiles
