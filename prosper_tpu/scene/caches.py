@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-MESH_CACHE_VERSION = 2  # v2: MikkTSpace-algorithm tangents
+MESH_CACHE_VERSION = 3  # v3: quantized vertex formats (Mesh.hpp:11-15 parity)
 TEXTURE_CACHE_VERSION = 1
 
 

@@ -175,7 +175,7 @@ def _process_prim(prim) -> dict:
         else np.zeros((len(prim.positions), 2), np.float32)
     )
     cl = build_clusters(prim.positions, prim.indices)
-    return {
+    return quantize_mesh_arrays({
         "positions": prim.positions.astype(np.float32),
         "normals": normals.astype(np.float32),
         "tangents": tangents.astype(np.float32),
@@ -189,10 +189,63 @@ def _process_prim(prim) -> dict:
         "cone_axis": cl.cone_axis,
         "cone_cutoff": cl.cone_cutoff,
         "sphere_radius": cl.sphere_radius,
-    }
+    })
+
+
+def quantize_mesh_arrays(a: dict) -> dict:
+    """packMeshData analog (DeferredLoadingContext.cpp:442-490 /
+    src/scene/Mesh.hpp:11-15): positions f16x4, normals + tangents
+    10-10-10-2 snorm, uv f16x2, u16 indices when they fit. Applied to
+    EVERY processed primitive (not only cache hits) so rendering is
+    independent of cache state; the mesh cache stores these packed forms
+    (halves-to-quarters the blob size like the reference's cache v4)."""
+    from ..mathx.packing import pack_snorm_10_10_10_2
+
+    out = {k: v for k, v in a.items() if k not in (
+        "positions", "normals", "tangents", "uv0", "tri_vidx")}
+    pos = a["positions"]
+    v_count = len(pos)
+    pos4 = np.ones((v_count, 4), np.float16)
+    pos4[:, :3] = pos.astype(np.float16)
+    out["positions_f16"] = pos4
+    n = a["normals"]
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    out["normals_1010102"] = pack_snorm_10_10_10_2(n)
+    t = a["tangents"]
+    t3 = t[:, :3]
+    t3 = t3 / np.maximum(np.linalg.norm(t3, axis=-1, keepdims=True), 1e-20)
+    out["tangents_1010102"] = pack_snorm_10_10_10_2(t3, t[:, 3])
+    out["uv0_f16"] = a["uv0"].astype(np.float16)
+    idx = a["tri_vidx"]
+    out["tri_vidx"] = idx.astype(
+        np.uint16 if v_count <= 65535 else np.uint32
+    )
+    return out
+
+
+def dequantize_mesh_arrays(a: dict) -> dict:
+    """Unpack quantize_mesh_arrays output to the f32 processing format
+    (the GLSL-side decode of the packed vertex formats)."""
+    from ..mathx.packing import unpack_snorm_10_10_10_2
+
+    out = {k: v for k, v in a.items() if not (
+        k.endswith("_f16") or k.endswith("_1010102"))}
+    out["positions"] = np.asarray(a["positions_f16"][:, :3], np.float32)
+    n, _w = unpack_snorm_10_10_10_2(np.asarray(a["normals_1010102"]))
+    out["normals"] = np.asarray(n, np.float32)
+    t3, tw = unpack_snorm_10_10_10_2(np.asarray(a["tangents_1010102"]))
+    out["tangents"] = np.concatenate(
+        [np.asarray(t3, np.float32), np.asarray(tw, np.float32)[:, None]],
+        axis=1,
+    )
+    out["uv0"] = np.asarray(a["uv0_f16"], np.float32)
+    out["tri_vidx"] = a["tri_vidx"].astype(np.uint32)
+    return out
 
 
 def _mesh_from_arrays(a: dict, material: int) -> MeshData:
+    if "positions_f16" in a:
+        a = dequantize_mesh_arrays(a)
     return MeshData(
         clusters=MeshClusters(
             tri_vidx=a["tri_vidx"],

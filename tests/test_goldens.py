@@ -123,6 +123,17 @@ def test_restir_flighthelmet_golden():
 if __name__ == "__main__":
     import sys
 
+    # match conftest.py exactly: goldens are pinned against the test
+    # environment's numerics (device count/x64 config change XLA fusion
+    # rounding at the ~1e-3 level)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_enable_x64", False)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/prosper_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         for mode in ("forward", "pt", "deferred", "restir"):

@@ -48,3 +48,46 @@ def test_load_flighthelmet_texture():
         "/root/reference/res/glTF/FlightHelmet/glTF/FlightHelmet_baseColor.png"
     )
     assert tex.ndim == 3 and tex.shape[2] == 4
+
+
+def test_mesh_quantization_roundtrip():
+    """packMeshData-analog quantization (Mesh.hpp:11-15 parity): f16x4
+    positions, 10-10-10-2 snorm normals/tangents, f16 uv, u16 indices."""
+    import numpy as np
+
+    from prosper_tpu.scene.world import (
+        dequantize_mesh_arrays,
+        quantize_mesh_arrays,
+    )
+
+    rng = np.random.default_rng(3)
+    V, T = 777, 400
+    n = rng.normal(size=(V, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    t3 = rng.normal(size=(V, 3)).astype(np.float32)
+    t3 /= np.linalg.norm(t3, axis=1, keepdims=True)
+    a = {
+        "positions": rng.uniform(-2, 2, (V, 3)).astype(np.float32),
+        "normals": n,
+        "tangents": np.concatenate(
+            [t3, rng.choice([-1.0, 1.0], (V, 1))], 1
+        ).astype(np.float32),
+        "uv0": rng.uniform(0, 1, (V, 2)).astype(np.float32),
+        "tri_vidx": rng.integers(0, V, (T, 3)).astype(np.uint32),
+        "cluster_offset": np.zeros(2, np.uint32),
+    }
+    q = quantize_mesh_arrays(a)
+    assert q["positions_f16"].dtype == np.float16
+    assert q["normals_1010102"].dtype == np.uint32
+    assert q["tri_vidx"].dtype == np.uint16  # V <= 65535
+    d = dequantize_mesh_arrays(q)
+    assert np.abs(d["positions"] - a["positions"]).max() < 1e-3
+    dn = d["normals"] / np.linalg.norm(d["normals"], axis=1, keepdims=True)
+    assert (dn * a["normals"]).sum(1).min() > 0.99999
+    cos_t = (d["tangents"][:, :3] * a["tangents"][:, :3]).sum(1)
+    assert cos_t.min() > 0.999
+    assert np.array_equal(
+        np.sign(d["tangents"][:, 3]), np.sign(a["tangents"][:, 3])
+    )
+    assert np.array_equal(d["tri_vidx"], a["tri_vidx"])
+    assert np.abs(d["uv0"] - a["uv0"]).max() < 5e-4
