@@ -84,8 +84,9 @@ def test_mesh_quantization_roundtrip():
     assert np.abs(d["positions"] - a["positions"]).max() < 1e-3
     dn = d["normals"] / np.linalg.norm(d["normals"], axis=1, keepdims=True)
     assert (dn * a["normals"]).sum(1).min() > 0.99999
-    cos_t = (d["tangents"][:, :3] * a["tangents"][:, :3]).sum(1)
-    assert cos_t.min() > 0.999
+    dt = d["tangents"][:, :3]
+    dt = dt / np.linalg.norm(dt, axis=1, keepdims=True)
+    assert (dt * a["tangents"][:, :3]).sum(1).min() > 0.99999
     assert np.array_equal(
         np.sign(d["tangents"][:, 3]), np.sign(a["tangents"][:, 3])
     )
