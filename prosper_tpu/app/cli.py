@@ -241,6 +241,20 @@ def main(argv: list[str] | None = None) -> int:
 
     state = None
     img = None
+    # two frames in flight (src/utils/Utils.hpp:15 MAX_FRAMES_IN_FLIGHT):
+    # JAX async dispatch stands in for the command-buffer queue — frame
+    # f+1's host prep (animation, frame_arrays, BVH build) overlaps frame
+    # f's device execution; we only block when the pipeline is full.
+    from collections import deque
+
+    inflight = deque()
+
+    def _drain(limit):
+        while len(inflight) >= limit:
+            f0, img0, t00 = inflight.popleft()
+            img0.block_until_ready()
+            log_info("frame %d: %.1f ms", f0, (time.time() - t00) * 1e3)
+
     for f in range(args.frames):
         profiler.start_frame()
         if args.orbit_camera and f > 0:
@@ -331,9 +345,9 @@ def main(argv: list[str] | None = None) -> int:
             # materials (scene.rahit parity)
             alpha_rounds=2 if bool((world.materials.alpha_mode != 0).any()) else 0,
         )
-        img.block_until_ready()
-        frame_ms = (time.time() - t0) * 1e3
-        log_info("frame %d: %.1f ms", f, frame_ms)
+        inflight.append((f, img, t0))
+        # profiling needs per-frame sync for honest scope attribution
+        _drain(1 if args.profile else 2)
         cam_obj.end_frame()
         report = profiler.end_frame()
         if args.profile:
@@ -343,6 +357,7 @@ def main(argv: list[str] | None = None) -> int:
             target = 1.0 / args.fps_limit
             while (time.time() - t0) < target:
                 pass
+    _drain(1)
 
     if args.profile_device:
         from ..utils.profiler import profile_device_ops
