@@ -83,6 +83,102 @@ def pt_render_sharded(
     return fn(static_scene, frame, arena, cam, px, py, res)
 
 
+def restir_render_sharded(
+    mesh: Mesh,
+    static_scene: dict,
+    frame: dict,
+    arena: dict,
+    cam: dict,
+    width: int,
+    height: int,
+    frame_index: int,
+):
+    """Full ReSTIR DI frame with horizontal pixel bands sharded over the
+    mesh's "sp" axis.
+
+    Each chip renders `height/n` rows: G-buffer band (render_gbuffer
+    y_offset), initial reservoirs, then spatial reuse against a
+    band+halo neighbor image built by exchanging SPATIAL_RADIUS edge
+    rows with adjacent chips over ICI (jax.lax.ppermute — the TPU-native
+    stand-in for the reference's single-GPU texture fetch across the
+    whole frame), and traced shading. Per-pixel RNG streams use absolute
+    pixel coordinates, so the result matches the single-chip
+    render_restir pipeline.
+
+    Returns (H*W, 3) linear color (sharded by band).
+    """
+    from .gbuffer import render_gbuffer
+    from .restir import (
+        SPATIAL_RADIUS,
+        initial_reservoirs,
+        pack_neighbor_rows,
+        restir_shade,
+        spatial_reuse,
+    )
+    from ..ops import trace
+
+    n = mesh.shape["sp"]
+    assert height % n == 0, "height must divide the mesh"
+    band_h = height // n
+    halo = int(SPATIAL_RADIUS)
+    assert band_h >= halo, (
+        f"band height {band_h} < spatial radius {halo}: neighbors would "
+        "span non-adjacent chips"
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P("sp"),
+        check_vma=False,
+    )
+    def step(static_r, frame_r, arena_r, cam_r):
+        d = jax.lax.axis_index("sp")
+        y0 = d * band_h
+        gbuf = render_gbuffer(
+            static_r, frame_r, arena_r, cam_r, width, band_h,
+            y_offset=y0, full_height=height,
+        )
+        surface = dict(gbuf["surface"])
+        c2c = cam_r["camera_to_clip"]
+        lin = -c2c[2, 3] / (gbuf["depth"] + c2c[2, 2])
+        surface["linear_depth"] = lin
+        gbuf2 = dict(gbuf)
+        gbuf2["linear_depth"] = lin
+
+        px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), band_h)
+        py = (
+            jnp.repeat(jnp.arange(band_h, dtype=jnp.uint32), width)
+            + y0.astype(jnp.uint32)
+        )
+        lights = frame_r["lights"]
+
+        li0, ucw0 = initial_reservoirs(surface, lights, px, py, frame_index)
+        li0 = jnp.where(gbuf["valid"], li0, -1)
+
+        rows = pack_neighbor_rows(gbuf2, li0, ucw0).reshape(band_h, width * 8)
+        # halo exchange: my bottom rows become my lower neighbor's top
+        # halo and vice versa; frame-edge chips receive zeros (empty
+        # reservoirs, rejected by the depth/normal heuristics)
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+        from_above = jax.lax.ppermute(rows[-halo:], "sp", fwd)
+        from_below = jax.lax.ppermute(rows[:halo], "sp", bwd)
+        halo_rows = jnp.concatenate([from_above, rows, from_below], axis=0)
+        neigh = halo_rows.reshape((band_h + 2 * halo) * width, 8)
+
+        li1, ucw1 = spatial_reuse(
+            surface, lights, neigh, px, py, width, height, frame_index,
+            neigh_y0=y0 - halo, neigh_rows_h=band_h + 2 * halo,
+        )
+        surface["valid"] = gbuf["valid"]
+        tris_r = trace.world_triangles(static_r, frame_r)
+        return restir_shade(surface, lights, li1, ucw1, tris_r, frame_r)
+
+    return jax.jit(step)(static_scene, frame, arena, cam)
+
+
 def replicate_to_mesh(tree, mesh: Mesh):
     """Place a pytree replicated on every device of the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -42,8 +42,16 @@ def render_gbuffer(
     use_culling: bool = False,
     prev_hiz: list | None = None,
     lod_bias: float = 0.0,
+    y_offset=0,
+    full_height: int | None = None,
 ):
     """Trace primary rays and produce the G-buffer pytree (flat R = W*H).
+
+    y_offset/full_height render a horizontal BAND of a taller frame
+    (multi-chip pixel sharding, render/distributed.py): `height` rows
+    starting at absolute row y_offset of a full_height frame, with the
+    camera projection unchanged. y_offset may be traced (per-device
+    axis_index); culling is not supported per-band.
 
     With use_culling, runs the reference's two-phase meshlet pipeline
     (ForwardRenderer recordOpaque flow): phase 1 traces clusters that
@@ -52,11 +60,13 @@ def render_gbuffer(
     clusters against it and traces the disocclusions; hits merge by min t.
     The fresh HiZ is returned in the G-buffer for preservation.
     """
+    full_h = height if full_height is None else full_height
     px_np, py_np, inv_np = trace.block_pixel_order(width, height)
     uv = jnp.stack(
         [
             (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
-            (jnp.asarray(py_np).astype(jnp.float32) + 0.5) / height,
+            (jnp.asarray(py_np).astype(jnp.float32) + y_offset + 0.5)
+            / full_h,
         ],
         axis=-1,
     )
@@ -177,8 +187,12 @@ def render_gbuffer(
         [
             (jnp.tile(jnp.arange(width, dtype=jnp.float32), height) + 0.5)
             / width,
-            (jnp.repeat(jnp.arange(height, dtype=jnp.float32), width) + 0.5)
-            / height,
+            (
+                jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+                + y_offset
+                + 0.5
+            )
+            / full_h,
         ],
         axis=-1,
     )

@@ -127,10 +127,16 @@ def spatial_reuse(
     width: int,
     height: int,
     frame_index,
+    neigh_y0=0,
+    neigh_rows_h: int | None = None,
 ):
     """Biased spatial reuse (spatial_reuse.comp). `neigh_rows` is the
-    FULL-size pack_neighbor_rows image; everything else may be a
-    tile-compacted chunk."""
+    pack_neighbor_rows image covering rows [neigh_y0, neigh_y0 +
+    neigh_rows_h) of the frame (the full frame by default; a band+halo
+    slab under multi-chip sharding — render/distributed.py). Everything
+    else may be a tile-compacted chunk. px/py/width/height are always
+    absolute frame coordinates (the RNG streams and edge rejection
+    depend on them)."""
     state = prng.make_state(px, py, jnp.uint32(frame_index))
     R = px.shape[0]
 
@@ -149,7 +155,8 @@ def spatial_reuse(
         p_y = py.astype(jnp.int32) + r[..., 1]
         # `any(lessThanEqual(p, 0)) || any(greaterThanEqual(p, res))`
         in_bounds = (p_x > 0) & (p_y > 0) & (p_x < width) & (p_y < height)
-        p_flat = jnp.clip(p_y, 0, height - 1) * width + jnp.clip(
+        rows_h = height if neigh_rows_h is None else neigh_rows_h
+        p_flat = jnp.clip(p_y - neigh_y0, 0, rows_h - 1) * width + jnp.clip(
             p_x, 0, width - 1
         )
         row = neigh_rows[p_flat]  # (R, 8) one gather per try

@@ -54,3 +54,57 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(color), np.asarray(single), rtol=1e-5, atol=1e-6
     )
+
+
+def test_restir_sharded_matches_single_device():
+    """Sharded ReSTIR (pixel bands + ppermute halo exchange for spatial
+    reuse) must match the single-device pipeline: per-pixel RNG streams
+    are absolute-coordinate seeded and the halo supplies exactly the
+    neighbor rows spatial reuse can reach."""
+    import numpy as np
+
+    from prosper_tpu.render.distributed import (
+        make_mesh,
+        restir_render_sharded,
+    )
+    from prosper_tpu.render.restir import render_restir
+    from prosper_tpu.testing import make_test_scene
+
+    W = H = 256  # bands of 32 rows >= the 30 px spatial radius
+    static, frame, arena, cam_fn = make_test_scene(n_boxes=6)
+    import jax.numpy as jnp
+
+    static = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in static.items()
+    }
+    frame_d = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in frame.items()
+        if k not in ("scene_camera", "bvh_depth")
+    }
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(W, H).items()}
+    from prosper_tpu.ops.texture import pack_material_tables
+
+    arena_d = {k: jnp.asarray(v) for k, v in arena.items()}
+    lut = jnp.zeros((48, 48, 48, 3), jnp.float32)
+
+    _img, single = render_restir(
+        static, frame_d, arena_d, cam, lut, W, H, 5
+    )
+    mesh = make_mesh(8)
+    sharded = restir_render_sharded(
+        mesh, static, frame_d, arena_d, cam, W, H, 5
+    )
+    a = np.asarray(single)
+    b = np.asarray(sharded)
+    assert np.isfinite(b).all()
+    assert np.allclose(a, b, atol=1e-5), float(np.abs(a - b).max())
