@@ -79,10 +79,16 @@ def tile_apply(mask, fn, inputs, out_like=None, chunk_tiles: int = 512):
             c = jnp.where(
                 lane_ok.reshape((ct * TILE,) + (1,) * (c.ndim - 1)), c, 0
             ).astype(o.dtype)
+            # flat tile rows: XLA scatters (T, 256*k) rows ~2x faster
+            # than (T, 256, k) blocks, and the standalone op resists
+            # being fused into a slow elementwise loop
+            k = 1
+            for s in o.shape[1:]:
+                k *= s
             return (
-                o.reshape((n_tiles, TILE) + o.shape[1:])
+                o.reshape(n_tiles, TILE * k)
                 .at[slc]
-                .add(c.reshape((ct, TILE) + o.shape[1:]))
+                .add(c.reshape(ct, TILE * k))
                 .reshape(o.shape)
             )
 

@@ -74,22 +74,26 @@ def from_tiles(tiles: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     return img[:height, :width].reshape(height * width, C)
 
 
-def build_tile_light_lists(cam: dict, lights: dict, width: int, height: int):
+def build_tile_light_lists(cam: dict, lights: dict, width: int, height: int,
+                           y_offset=0, full_height: int | None = None):
     """Per-tile point light lists from the froxel side-plane tests
     (light_clustering.comp:67-99; same math as
     clustering.build_light_clusters, z handled per pixel in-kernel).
 
     Returns (lists (T, LCAP) i32, counts (T,) i32, light_vz (1, LCAP) f32)
     with T in (ty, tx) row-major order matching to_tiles."""
+    full_h = height if full_height is None else full_height
     fx, fy = tile_grid(width, height)
     c2c = cam["camera_to_clip"]
     w2c = cam["world_to_camera"]
 
     tile_scale = (
-        jnp.array([width, height], jnp.float32) / (2.0 * TILE_PX)
+        jnp.array([width, full_h], jnp.float32) / (2.0 * TILE_PX)
     )
     cx = jnp.arange(fx, dtype=jnp.float32)
-    cy = jnp.arange(fy, dtype=jnp.float32)
+    # absolute froxel row (band sharding: y_offset must be a multiple of
+    # the 32 px froxel tile)
+    cy = jnp.arange(fy, dtype=jnp.float32) + y_offset / TILE_PX
     bias_x = tile_scale[0] - cx
     bias_y = tile_scale[1] - cy
     m00 = c2c[0, 0] * tile_scale[0]
@@ -228,8 +232,12 @@ def _shade_kernel(
         return br * NoL, bg * NoL, bb * NoL
 
     pc = ints_ref[0, 0]
-    spot_eff = ints_ref[0, 1]
-    tile_count = counts_ref[t]
+    # sky/background tiles skip the whole light walk (their pixels are
+    # zeroed by the valid mask regardless) — on sparse scenes most 32px
+    # froxel tiles contain no geometry
+    any_valid = jnp.any(valid)
+    spot_eff = jnp.where(any_valid, ints_ref[0, 1], 0)
+    tile_count = jnp.where(any_valid, counts_ref[t], 0)
     zero = jnp.zeros((_PXROWS, 128), jnp.float32)
 
     cp.wait()
@@ -304,7 +312,7 @@ def _shade_kernel(
     out_ref[0, 3] = zero
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "full_height"))
 def shade_clustered_tiles(
     surface: dict,
     lights: dict,
@@ -313,13 +321,19 @@ def shade_clustered_tiles(
     valid: jnp.ndarray,
     width: int,
     height: int,
+    y_offset=0,
+    full_height: int | None = None,
 ) -> jnp.ndarray:
     """Clustered point+spot shading -> (R, 3) linear color (TPU path).
 
     Replaces clustering.build_light_clusters + eval_clustered_lights for
     the deferred frame; same observable light set per pixel.
+    y_offset/full_height: shade a band of a taller frame (y_offset must
+    be a multiple of the 32 px froxel tile).
     """
-    lists, counts, lvz = build_tile_light_lists(cam, lights, width, height)
+    lists, counts, lvz = build_tile_light_lists(
+        cam, lights, width, height, y_offset=y_offset, full_height=full_height
+    )
     rows = lights["packed_rows"]
     chan = to_tiles(
         jnp.concatenate(

@@ -27,11 +27,19 @@ def shade_deferred(
     width: int,
     height: int,
     ibl_data: dict | None = None,
+    y_offset=0,
+    full_height: int | None = None,
 ):
-    """Clustered deferred shading over the flat G-buffer."""
+    """Clustered deferred shading over the flat G-buffer.
+
+    y_offset/full_height shade a horizontal band of a taller frame
+    (multi-chip pixel sharding): `height` rows starting at absolute row
+    y_offset; froxel coordinates stay absolute."""
     R = width * height
     px = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
+    py = (
+        jnp.repeat(jnp.arange(height, dtype=jnp.int32), width) + y_offset
+    )
 
     # decode G-buffer exactly like loadFromGbuffer (visible_surface.glsl)
     albedo = gbuf["albedo_roughness"][..., :3]
@@ -62,7 +70,8 @@ def shade_deferred(
         from ..ops.shade_tiles import shade_clustered_tiles
 
         color = color + shade_clustered_tiles(
-            surface, lights, cam, gbuf["z_cam"], gbuf["valid"], width, height
+            surface, lights, cam, gbuf["z_cam"], gbuf["valid"], width, height,
+            y_offset=y_offset, full_height=full_height,
         )
     else:
         color = color + eval_clustered_lights(

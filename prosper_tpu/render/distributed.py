@@ -179,6 +179,79 @@ def restir_render_sharded(
     return jax.jit(step)(static_scene, frame, arena, cam)
 
 
+def deferred_render_sharded(
+    mesh: Mesh,
+    static_scene: dict,
+    frame: dict,
+    arena: dict,
+    cam: dict,
+    width: int,
+    height: int,
+    ibl_data: dict | None = None,
+):
+    """Core deferred frame (G-buffer -> clustered shading [-> skybox])
+    with horizontal pixel bands sharded over the mesh's "sp" axis.
+
+    Froxel coordinates stay absolute (band rows must align to the 32 px
+    froxel tile), so every chip shades exactly the light set the
+    single-chip path would. Post (TAA/bloom/DoF/tone map) runs on the
+    gathered frame — its 3x3 neighborhoods would only need a 1-px halo,
+    which is not worth a collective at current frame rates.
+
+    Returns (H*W, 3) linear HDR color (sharded by band).
+    """
+    from .deferred import shade_deferred
+    from .gbuffer import render_gbuffer
+    from ..ops.clustering import build_light_clusters
+
+    n = mesh.shape["sp"]
+    assert height % n == 0, "height must divide the mesh"
+    band_h = height // n
+    assert band_h % 32 == 0, "bands must align to the 32 px froxel tile"
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P("sp"),
+        check_vma=False,
+    )
+    def step(static_r, frame_r, arena_r, cam_r):
+        d = jax.lax.axis_index("sp")
+        y0 = d * band_h
+        gbuf = render_gbuffer(
+            static_r, frame_r, arena_r, cam_r, width, band_h,
+            y_offset=y0, full_height=height,
+        )
+        clusters = (
+            None
+            if jax.default_backend() != "cpu"
+            else build_light_clusters(cam_r, frame_r["lights"], width, height)
+        )
+        color = shade_deferred(
+            gbuf, clusters, frame_r["lights"], cam_r, width, band_h,
+            ibl_data, y_offset=y0, full_height=height,
+        )
+        if ibl_data is not None and "env" in ibl_data:
+            from ..ops.ibl import sample_cubemap
+            from ..ops.rays import pinhole_rays
+
+            ys = (
+                jnp.repeat(jnp.arange(band_h, dtype=jnp.float32), width)
+                + y0
+                + 0.5
+            ) / height
+            xs = (
+                jnp.tile(jnp.arange(width, dtype=jnp.float32), band_h) + 0.5
+            ) / width
+            _, vd = pinhole_rays(cam_r, jnp.stack([xs, ys], -1))
+            sky = sample_cubemap(ibl_data["env"], vd)
+            color = jnp.where(gbuf["valid"][:, None], color, sky)
+        return color
+
+    return jax.jit(step)(static_scene, frame, arena, cam)
+
+
 def replicate_to_mesh(tree, mesh: Mesh):
     """Place a pytree replicated on every device of the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -108,3 +108,55 @@ def test_restir_sharded_matches_single_device():
     b = np.asarray(sharded)
     assert np.isfinite(b).all()
     assert np.allclose(a, b, atol=1e-5), float(np.abs(a - b).max())
+
+
+def test_deferred_sharded_matches_single_device():
+    """Sharded deferred core (band G-buffer + clustered shading with
+    absolute froxel coordinates) must match the single-device path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from prosper_tpu.ops.clustering import build_light_clusters
+    from prosper_tpu.render.deferred import shade_deferred
+    from prosper_tpu.render.distributed import (
+        deferred_render_sharded,
+        make_mesh,
+    )
+    from prosper_tpu.render.gbuffer import render_gbuffer
+    from prosper_tpu.testing import make_test_scene
+
+    W = H = 256  # 32-row bands align to the froxel tile
+    static, frame, arena, cam_fn = make_test_scene(n_boxes=6)
+    static = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in static.items()
+    }
+    frame_d = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in frame.items()
+        if k not in ("scene_camera", "bvh_depth")
+    }
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(W, H).items()}
+    arena_d = {k: jnp.asarray(v) for k, v in arena.items()}
+
+    gbuf = render_gbuffer(static, frame_d, arena_d, cam, W, H)
+    clusters = build_light_clusters(cam, frame_d["lights"], W, H)
+    single = shade_deferred(
+        gbuf, clusters, frame_d["lights"], cam, W, H
+    )
+    mesh = make_mesh(8)
+    sharded = deferred_render_sharded(
+        mesh, static, frame_d, arena_d, cam, W, H
+    )
+    a = np.asarray(single)
+    b = np.asarray(sharded)
+    assert np.isfinite(b).all()
+    assert np.allclose(a, b, atol=1e-5), float(np.abs(a - b).max())
