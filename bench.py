@@ -36,6 +36,10 @@ BASELINE_MRAYS = 69.0
 
 def main() -> int:
     import jax
+
+    from prosper_tpu.scene.caches import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from prosper_tpu.render.pt import pt_render_sample

@@ -24,6 +24,10 @@ N_LIGHTS = 1024
 def main():
     modes = sys.argv[1:] or ["pt", "deferred", "restir"]
     import jax
+
+    from prosper_tpu.scene.caches import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from prosper_tpu.ops.texture import pack_material_tables

@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+
+    from prosper_tpu.scene.caches import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from prosper_tpu.ops import trace_bvh, trace_pallas

@@ -23,6 +23,10 @@ N_LIGHTS = 1024
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "restir"
     import jax
+
+    from prosper_tpu.scene.caches import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from prosper_tpu.ops.texture import pack_material_tables

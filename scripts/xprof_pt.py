@@ -16,6 +16,10 @@ WIDTH, HEIGHT = 1920, 1080
 
 def main():
     import jax
+
+    from prosper_tpu.scene.caches import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from prosper_tpu.ops.texture import pack_material_tables
