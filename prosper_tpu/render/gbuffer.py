@@ -61,7 +61,7 @@ def render_gbuffer(
     The fresh HiZ is returned in the G-buffer for preservation.
     """
     full_h = height if full_height is None else full_height
-    px_np, py_np, inv_np = trace.block_pixel_order(width, height)
+    px_np, py_np, _inv_np = trace.block_pixel_order(width, height)
     uv = jnp.stack(
         [
             (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
@@ -104,7 +104,6 @@ def render_gbuffer(
             from functools import partial
 
             return partial(trace.trace_closest, tris, mn, mx)
-    inv = jnp.asarray(inv_np)
     inv16 = jnp.asarray(trace.block_inverse16(width, height))
     stats = {}
     hiz_mips = None
