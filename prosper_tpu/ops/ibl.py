@@ -86,16 +86,24 @@ def sample_cubemap(cube: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     fu = (uu - x0)[..., None]
     fv = (vv - y0)[..., None]
 
-    def g(yi, xi):
-        yi = jnp.clip(yi.astype(jnp.int32), 0, S - 1)
-        xi = jnp.clip(xi.astype(jnp.int32), 0, S - 1)
-        return cube[face, yi, xi]
-
+    # quad-packed rows (texture-arena trick): texel + its +x/+y/+xy
+    # clamp neighbors ride one 12-float row, so a bilinear tap is ONE
+    # row gather instead of 4 multi-axis gathers (XLA emitted those as
+    # per-channel gathers: ~100 ms/frame at 1080p for a sky lookup)
+    right = jnp.concatenate([cube[:, :, 1:], cube[:, :, -1:]], axis=2)
+    down = jnp.concatenate([cube[:, 1:], cube[:, -1:]], axis=1)
+    diag = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    rows = jnp.concatenate([cube, right, down, diag], axis=-1).reshape(
+        6 * S * S, 12
+    )
+    xc = jnp.clip(x0.astype(jnp.int32), 0, S - 1)
+    yc = jnp.clip(y0.astype(jnp.int32), 0, S - 1)
+    r = rows[(face * S + yc) * S + xc]
     return (
-        g(y0, x0) * (1 - fu) * (1 - fv)
-        + g(y0, x0 + 1) * fu * (1 - fv)
-        + g(y0 + 1, x0) * (1 - fu) * fv
-        + g(y0 + 1, x0 + 1) * fu * fv
+        r[..., 0:3] * (1 - fu) * (1 - fv)
+        + r[..., 3:6] * fu * (1 - fv)
+        + r[..., 6:9] * (1 - fu) * fv
+        + r[..., 9:12] * fu * fv
     )
 
 

@@ -19,7 +19,7 @@ _TONY_PATH = "/root/reference/res/texture/tony_mc_mapface.dds"
 
 
 def load_tony_mc_mapface(path: str = _TONY_PATH) -> np.ndarray:
-    """Quad-packed LUT (48^3, 12) float32 (see pack_lut_quads)."""
+    """Double-quad-packed LUT (48^3, 24) float32 (see pack_lut_quads)."""
     img = read_dds(path)
     lut = img.mips[0]
     assert lut.shape == (LUT_DIMS, LUT_DIMS, LUT_DIMS, 3)
@@ -27,10 +27,10 @@ def load_tony_mc_mapface(path: str = _TONY_PATH) -> np.ndarray:
 
 
 def pack_lut_quads(lut: np.ndarray) -> np.ndarray:
-    """(48,48,48,3) -> (48^3, 12): row (z,y,x) holds the clamped x/y
-    bilinear quad [c(x,y), c(x+1,y), c(x,y+1), c(x+1,y+1)], so a
-    trilinear fetch is TWO row gathers (z0, z1) instead of eight corner
-    gathers — XLA row-gather throughput bound the tone map at 1080p."""
+    """(48,48,48,3) -> (48^3, 24): row (z,y,x) holds BOTH z-slices'
+    clamped x/y bilinear quads [quad(z) | quad(z+1)], so a trilinear
+    fetch is ONE row gather instead of eight corner gathers — XLA
+    row-gather throughput bound the tone map at 1080p."""
     d = LUT_DIMS
     i = np.arange(d)
     i1 = np.minimum(i + 1, d - 1)
@@ -43,15 +43,19 @@ def pack_lut_quads(lut: np.ndarray) -> np.ndarray:
         ],
         axis=-2,
     )  # (z, y, x, 4, 3)
-    return q.reshape(d * d * d, 12).astype(np.float32)
+    rows = q.reshape(d, d * d, 12)
+    rows_z1 = np.concatenate([rows[1:], rows[-1:]], axis=0)
+    return np.concatenate([rows, rows_z1], axis=-1).reshape(
+        d * d * d, 24
+    ).astype(np.float32)
 
 
 def sample_lut_trilinear(lut: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
     """Trilinear 3D LUT fetch; uvw in [0,1]^3 maps to texel centers already
     (caller applies the (d-1)/d + 0.5/d alignment).
 
-    lut: quad-packed (48^3, 12) (2 row gathers) or raw (48,48,48,3)
-    (8 corner gathers; kept for synthetic test LUTs)."""
+    lut: double-quad-packed (48^3, 24) (one row gather) or raw
+    (48,48,48,3) (8 corner gathers; kept for synthetic test LUTs)."""
     d = LUT_DIMS
     # uvw -> continuous texel coords (centers at i+0.5)
     c = uvw * d - 0.5
@@ -65,8 +69,9 @@ def sample_lut_trilinear(lut: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
     fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
 
     if lut.ndim == 2:
-        q0 = lut[(z0 * d + y0) * d + x0]  # (..., 12)
-        q1 = lut[(z1 * d + y0) * d + x0]
+        qq = lut[(z0 * d + y0) * d + x0]  # (..., 24): both z quads
+        q0 = qq[..., 0:12]
+        q1 = qq[..., 12:24]
 
         def bil(q):
             c00 = q[..., 0:3]

@@ -154,13 +154,57 @@ def pt_trace_pixels(
     # CPU/XLA reference tracer is order-independent
     sort_rays = use_full_kernel
 
-    def trace_with_alpha(state, o, d, tmax, perm=None, inv=None):
+    def alpha_retrace(state, o, d, tmax, hit):
+        """The stochastic any-hit retrace loop (scene.rahit): ignored
+        hits (failed mask test / blend alpha below the per-ray uniform)
+        re-trace from just past the hit."""
+        from ..ops.texture import sample_alpha_packed
+
+        # fixed per-ray uniform: pcg(state.x ^ state.z) (no advance),
+        # the payload.randomSeed convention
+        seed = prng.pcg(state[..., 0] ^ state[..., 2])
+        au = prng.rng_to01(seed)
+        t_off = jnp.zeros_like(hit["t"])
+        o_cur = o
+        tmax_cur = tmax
+        for _ in range(alpha_rounds):
+            a = sample_alpha_packed(arena, hit["material"], hit["uv"])
+            ignore = (hit["tri"] >= 0) & (
+                (a == 0.0) | ((a > 0.0) & (au > a))
+            )
+            adv = jnp.where(ignore, hit["t"] * (1.0 + 1e-4) + 1e-5, 0.0)
+            o_cur = o_cur + d * adv[..., None]
+            tmax_cur = jnp.where(
+                ignore, jnp.maximum(tmax_cur - adv, 0.0), 0.0
+            )
+            t_off = t_off + adv
+            hit2 = trace_closest_fn(o_cur, d, 0.0, tmax_cur)
+            hit = {
+                k: jnp.where(
+                    ignore.reshape(
+                        ignore.shape + (1,) * (hit[k].ndim - 1)
+                    ),
+                    hit2[k],
+                    hit[k],
+                )
+                for k in hit
+            }
+        hit = dict(hit)
+        hit["t"] = hit["t"] + t_off
+        return hit
+
+    def trace_with_alpha(state, o, d, tmax, perm=None, inv=None,
+                         compact=False):
         """traceRay + the stochastic any-hit retrace loop (scene.rahit).
 
         perm/inv: optional coherence-sort permutation; the sort is fused
         into the kernel's ray prep (one row gather) and the packed hit
         rows are unsorted with one more, so sorting costs ~2 gathers
-        total. Alpha retraces run unsorted (rare, correctness-equal)."""
+        total. Alpha retraces run unsorted (rare, correctness-equal).
+        compact=True runs the retrace loop tile-compacted on hit tiles —
+        for the DENSE primary trace the loop's alpha taps and re-trace
+        prep would otherwise run on every pixel (~150 ms/frame at 1080p
+        for a 6%-coverage scene)."""
         if perm is not None:
             from ..ops.trace_bvh import unpack_hit16
 
@@ -169,38 +213,29 @@ def pt_trace_pixels(
         else:
             hit = trace_closest_fn(o, d, 0.0, tmax)
         if alpha_rounds and use_full_kernel:
-            from ..ops.texture import sample_alpha_packed
+            if compact:
+                from ..ops.compact import tile_apply
 
-            # fixed per-ray uniform: pcg(state.x ^ state.z) (no advance),
-            # the payload.randomSeed convention
-            seed = prng.pcg(state[..., 0] ^ state[..., 2])
-            au = prng.rng_to01(seed)
-            t_off = jnp.zeros_like(hit["t"])
-            o_cur = o
-            tmax_cur = tmax
-            for _ in range(alpha_rounds):
-                a = sample_alpha_packed(arena, hit["material"], hit["uv"])
-                ignore = (hit["tri"] >= 0) & (
-                    (a == 0.0) | ((a > 0.0) & (au > a))
-                )
-                adv = jnp.where(ignore, hit["t"] * (1.0 + 1e-4) + 1e-5, 0.0)
-                o_cur = o_cur + d * adv[..., None]
-                tmax_cur = jnp.where(
-                    ignore, jnp.maximum(tmax_cur - adv, 0.0), 0.0
-                )
-                t_off = t_off + adv
-                hit2 = trace_closest_fn(o_cur, d, 0.0, tmax_cur)
+                mask = hit["tri"] >= 0
+
+                def _fn(c_in, lane_ok):
+                    c_state, c_o, c_d, c_tmax, c_hit = c_in
+                    return alpha_retrace(
+                        c_state, c_o, c_d,
+                        jnp.where(lane_ok, c_tmax, 0.0), c_hit,
+                    )
+
+                out = tile_apply(mask, _fn, (state, o, d, tmax, hit))
                 hit = {
                     k: jnp.where(
-                        ignore.reshape(
-                            ignore.shape + (1,) * (hit[k].ndim - 1)
-                        ),
-                        hit2[k],
+                        mask.reshape(mask.shape + (1,) * (hit[k].ndim - 1)),
+                        out[k],
                         hit[k],
                     )
                     for k in hit
                 }
-            hit["t"] = hit["t"] + t_off
+            else:
+                hit = alpha_retrace(state, o, d, tmax, hit)
         return hit
 
     def _sort_key(origin_cluster, d, live):
@@ -402,7 +437,7 @@ def pt_trace_pixels(
     )
     tmax0 = jnp.where(lane_real, jnp.inf, 0.0)
     n_rays = jnp.sum(lane_real.astype(jnp.int32))
-    hit0 = trace_with_alpha(state, ray_o, ray_d, tmax0)
+    hit0 = trace_with_alpha(state, ray_o, ray_d, tmax0, compact=True)
 
     color_full = jnp.zeros((R, 3), jnp.float32)
     if env is not None:
