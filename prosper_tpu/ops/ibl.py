@@ -79,8 +79,10 @@ def sample_cubemap(cube: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
         jnp.where(face == 5, -xn, xn)))
     v = jnp.where(face == 2, zn, jnp.where(face == 3, -zn, -yn))
 
-    uu = (u * 0.5 + 0.5) * S - 0.5
-    vv = (v * 0.5 + 0.5) * S - 0.5
+    # clamp-to-edge in continuous coords: border taps then blend the
+    # edge texel with itself (identical to clamping each corner index)
+    uu = jnp.clip((u * 0.5 + 0.5) * S - 0.5, 0.0, S - 1.0)
+    vv = jnp.clip((v * 0.5 + 0.5) * S - 0.5, 0.0, S - 1.0)
     x0 = jnp.floor(uu)
     y0 = jnp.floor(vv)
     fu = (uu - x0)[..., None]

@@ -92,3 +92,47 @@ def test_prefilter_all_mips_finite():
     for m, mip in enumerate(mips):
         a = np.asarray(mip)
         assert np.isfinite(a).all(), f"mip {m} has non-finite texels"
+
+
+def test_sample_cubemap_quad_rows_match_corner_gathers():
+    """The quad-packed row fetch (one gather) must equal the naive
+    4-corner bilinear fetch it replaced."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from prosper_tpu.ops.ibl import sample_cubemap
+
+    rng = np.random.default_rng(11)
+    S = 16
+    cube = jnp.asarray(rng.random((6, S, S, 3), dtype=np.float32))
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    got = np.asarray(sample_cubemap(cube, jnp.asarray(d)))
+
+    # naive reference reproducing the pre-pack math
+    cnp = np.asarray(cube)
+    ax = np.abs(d)
+    major = np.argmax(ax, axis=-1)
+    pos = np.take_along_axis(d, major[:, None], axis=-1)[:, 0] >= 0
+    face = major * 2 + np.where(pos, 0, 1)
+    m = np.maximum(np.take_along_axis(ax, major[:, None], axis=-1)[:, 0], 1e-20)
+    xn, yn, zn = d[:, 0] / m, d[:, 1] / m, d[:, 2] / m
+    u = np.where(face == 0, -zn, np.where(face == 1, zn, np.where(face == 5, -xn, xn)))
+    v = np.where(face == 2, zn, np.where(face == 3, -zn, -yn))
+    uu = (u * 0.5 + 0.5) * S - 0.5
+    vv = (v * 0.5 + 0.5) * S - 0.5
+    x0 = np.floor(uu); y0 = np.floor(vv)
+    fu = (uu - x0)[:, None]; fv = (vv - y0)[:, None]
+
+    def g(yi, xi):
+        yi = np.clip(yi.astype(np.int32), 0, S - 1)
+        xi = np.clip(xi.astype(np.int32), 0, S - 1)
+        return cnp[face, yi, xi]
+
+    want = (
+        g(y0, x0) * (1 - fu) * (1 - fv)
+        + g(y0, x0 + 1) * fu * (1 - fv)
+        + g(y0 + 1, x0) * (1 - fu) * fv
+        + g(y0 + 1, x0 + 1) * fu * fv
+    )
+    assert np.allclose(got, want, atol=1e-6), np.abs(got - want).max()

@@ -116,3 +116,24 @@ def test_dof_defocused_background_blurs():
     depth = jnp.full((64, 64), 50.0)
     out = np.asarray(dof.depth_of_field(img, depth, cam))
     assert out[8:-8, 8:-8].std() < 0.9 * np.asarray(img)[8:-8, 8:-8].std()
+
+
+def test_lut_packed_rows_match_corner_gathers():
+    """pack_lut_quads' single-gather trilinear fetch must equal the raw
+    8-corner path (both live in sample_lut_trilinear)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from prosper_tpu.ops.tonemap import (
+        LUT_DIMS,
+        pack_lut_quads,
+        sample_lut_trilinear,
+    )
+
+    rng = np.random.default_rng(5)
+    raw = rng.random((LUT_DIMS, LUT_DIMS, LUT_DIMS, 3)).astype(np.float32)
+    packed = jnp.asarray(pack_lut_quads(raw))
+    uvw = jnp.asarray(rng.random((777, 3), dtype=np.float32))
+    a = np.asarray(sample_lut_trilinear(packed, uvw))
+    b = np.asarray(sample_lut_trilinear(jnp.asarray(raw), uvw))
+    assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()

@@ -112,3 +112,25 @@ def test_coherent_tile_rays():
     sel = want_tri >= 0
     np.testing.assert_array_equal(np.asarray(hit["tri"]) >= 0, sel)
     np.testing.assert_allclose(got_t[sel], want_t[sel], rtol=1e-5, atol=1e-6)
+
+
+def test_permute16_matches_per_pixel_inverse():
+    """Segment-level block<->row-major permutation == the per-pixel
+    inverse permutation it replaced."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from prosper_tpu.ops.trace import (
+        block_inverse16,
+        block_pixel_order,
+        permute16,
+    )
+
+    W, H = 64, 48
+    _, _, inv = block_pixel_order(W, H)
+    inv16 = jnp.asarray(block_inverse16(W, H))
+    rng = np.random.default_rng(0)
+    a = rng.random((W * H, 5)).astype(np.float32)
+    want = a[inv]
+    got = np.asarray(permute16(jnp.asarray(a), inv16))
+    assert np.array_equal(got, want)
