@@ -24,7 +24,7 @@ SCENE = "/root/reference/res/glTF/FlightHelmet/glTF/FlightHelmet.gltf"
 WIDTH, HEIGHT = 1920, 1080
 MAX_BOUNCES = 3
 WARMUP_FRAMES = 2
-BENCH_FRAMES = 4
+BENCH_FRAMES = 8
 
 # 30 FPS x (rays actually traced per 1080p frame at 3 bounces for this
 # scene: ~2.3M — primary 2.07M + the shadow/bounce mix of the 6%-coverage
@@ -96,15 +96,20 @@ def main() -> int:
         float(color.mean())  # force (block_until_ready can return early
         # on this backend for pure-XLA tails)
 
-    t0 = time.perf_counter()
-    total_rays = 0
+    # median per-frame throughput: the tunneled backend occasionally
+    # hiccups for hundreds of ms, which would poison a mean over a short
+    # run; the median is a robust estimate of steady-state frame rate
+    rates = []
     for i in range(BENCH_FRAMES):
+        t0 = time.perf_counter()
         color, n_rays = run(WARMUP_FRAMES + i)
         float(color.mean())
-        total_rays += int(n_rays)
-    elapsed = time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        rates.append(int(n_rays) / dt)
 
-    mrays = total_rays / elapsed / 1e6
+    rates.sort()
+    mid = len(rates) // 2
+    mrays = (rates[mid - 1] + rates[mid]) / 2.0 / 1e6
     print(
         json.dumps(
             {
