@@ -44,9 +44,13 @@ def tile_apply(mask, fn, inputs, out_like=None, chunk_tiles: int = 512):
     ct = min(chunk_tiles, n_tiles)
 
     tile_any = jnp.any(mask.reshape(n_tiles, TILE), axis=1)
-    tidx = jnp.nonzero(tile_any, size=n_tiles, fill_value=n_tiles)[0].astype(
-        jnp.int32
-    )
+    # Pad tidx to a ct multiple so the per-chunk dynamic_slice below never
+    # clamps its start index (a clamped slice would overlap the previous
+    # chunk and the .at[slc].add scatter would double-count those tiles).
+    tidx_size = ((n_tiles + ct - 1) // ct) * ct
+    tidx = jnp.nonzero(tile_any, size=tidx_size, fill_value=n_tiles)[
+        0
+    ].astype(jnp.int32)
     tcount = jnp.sum(tile_any.astype(jnp.int32))
     n_chunks = (tcount + ct - 1) // ct
 

@@ -59,9 +59,37 @@ def face_directions(res: int) -> jnp.ndarray:
     return jnp.asarray(d.astype(np.float32))
 
 
-def sample_cubemap(cube: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-face bilinear cubemap fetch. cube (6,S,S,3), d (...,3)."""
+def pack_cubemap_rows(cube: jnp.ndarray) -> jnp.ndarray:
+    """Quad-pack a (6,S,S,3) cubemap into (6*S*S, 12) bilinear rows.
+
+    Texel + its +x/+y/+xy clamp neighbors ride one 12-float row so a
+    bilinear tap is ONE row gather instead of 4 multi-axis gathers.
+    Precompute this ONCE per cubemap (outside any per-bounce loop) and
+    pass the result to sample_cubemap — repacking inside a fori_loop
+    body costs 4x the cubemap's memory traffic per trace step.
+    """
+    right = jnp.concatenate([cube[:, :, 1:], cube[:, :, -1:]], axis=2)
+    down = jnp.concatenate([cube[:, 1:], cube[:, -1:]], axis=1)
+    diag = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
     S = cube.shape[1]
+    return jnp.concatenate([cube, right, down, diag], axis=-1).reshape(
+        6 * S * S, 12
+    )
+
+
+def sample_cubemap(cube: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-face bilinear cubemap fetch. d (...,3).
+
+    cube: either a raw (6,S,S,3) map (packed on the fly — fine for
+    one-off calls) or pre-packed (6*S*S, 12) rows from
+    pack_cubemap_rows."""
+    if cube.ndim == 2:
+        rows = cube
+        S = int(round((cube.shape[0] // 6) ** 0.5))
+        assert 6 * S * S == cube.shape[0], cube.shape
+    else:
+        rows = None
+        S = cube.shape[1]
     ax = jnp.abs(d)
     major = jnp.argmax(ax, axis=-1)
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
@@ -88,16 +116,8 @@ def sample_cubemap(cube: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     fu = (uu - x0)[..., None]
     fv = (vv - y0)[..., None]
 
-    # quad-packed rows (texture-arena trick): texel + its +x/+y/+xy
-    # clamp neighbors ride one 12-float row, so a bilinear tap is ONE
-    # row gather instead of 4 multi-axis gathers (XLA emitted those as
-    # per-channel gathers: ~100 ms/frame at 1080p for a sky lookup)
-    right = jnp.concatenate([cube[:, :, 1:], cube[:, :, -1:]], axis=2)
-    down = jnp.concatenate([cube[:, 1:], cube[:, -1:]], axis=1)
-    diag = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
-    rows = jnp.concatenate([cube, right, down, diag], axis=-1).reshape(
-        6 * S * S, 12
-    )
+    if rows is None:
+        rows = pack_cubemap_rows(cube)
     xc = jnp.clip(x0.astype(jnp.int32), 0, S - 1)
     yc = jnp.clip(y0.astype(jnp.int32), 0, S - 1)
     r = rows[(face * S + yc) * S + xc]
@@ -158,6 +178,7 @@ def integrate_specular_brdf(res: int = SPECULAR_BRDF_LUT_RES, n_samples: int = 1
 @partial(jax.jit, static_argnames=("out_res",))
 def sample_irradiance(env: jnp.ndarray, out_res: int = IRRADIANCE_RES):
     """(6, out_res, out_res, 3) cosine-convolved irradiance."""
+    env = pack_cubemap_rows(env)  # once, outside the quadrature loop
     n = face_directions(out_res)  # (6,S,S,3) normals
     up = jnp.where(
         (jnp.abs(n[..., 1]) < 0.99)[..., None],
@@ -188,6 +209,8 @@ def sample_irradiance(env: jnp.ndarray, out_res: int = IRRADIANCE_RES):
 
 @partial(jax.jit, static_argnames=("alpha", "n_samples"))
 def _prefilter_mip(env: jnp.ndarray, n: jnp.ndarray, alpha: float, n_samples: int):
+    env = pack_cubemap_rows(env)  # once, outside the sample loop
+
     def body(i, cw):
         xi = hammersley(jnp.full((), i, jnp.uint32), n_samples)
         h = importance_sample_ibl_trowbridge_reitz(xi, jnp.full(n.shape[:-1], alpha), n)

@@ -120,11 +120,13 @@ def restir_render_sharded(
     n = mesh.shape["sp"]
     assert height % n == 0, "height must divide the mesh"
     band_h = height // n
-    halo = int(SPATIAL_RADIUS)
-    assert band_h >= halo, (
-        f"band height {band_h} < spatial radius {halo}: neighbors would "
-        "span non-adjacent chips"
-    )
+    # spatial_reuse offsets are uniformSampleDisk*2R - R, i.e. asymmetric
+    # [-3R, +R] px (spatial_reuse.comp:47): neighbors reach up to 3R rows
+    # ABOVE a pixel but only R rows below, so the halo from above must be
+    # 3R rows while R rows suffice from below. Bands shorter than the
+    # halo pull slabs from several chips away via multi-hop ppermute.
+    halo_up = int(3 * SPATIAL_RADIUS)
+    halo_dn = int(SPATIAL_RADIUS)
 
     @partial(
         jax.shard_map,
@@ -158,19 +160,29 @@ def restir_render_sharded(
         li0 = jnp.where(gbuf["valid"], li0, -1)
 
         rows = pack_neighbor_rows(gbuf2, li0, ucw0).reshape(band_h, width * 8)
-        # halo exchange: my bottom rows become my lower neighbor's top
-        # halo and vice versa; frame-edge chips receive zeros (empty
-        # reservoirs, rejected by the depth/normal heuristics)
-        fwd = [(i, i + 1) for i in range(n - 1)]
-        bwd = [(i + 1, i) for i in range(n - 1)]
-        from_above = jax.lax.ppermute(rows[-halo:], "sp", fwd)
-        from_below = jax.lax.ppermute(rows[:halo], "sp", bwd)
-        halo_rows = jnp.concatenate([from_above, rows, from_below], axis=0)
-        neigh = halo_rows.reshape((band_h + 2 * halo) * width, 8)
+        # halo exchange: chip d needs rows [y0-halo_up, y0) from the
+        # chips above and [y0+band_h, y0+band_h+halo_dn) from below.
+        # Hop j pulls the adjacent slab from chip d-+j; frame-edge chips
+        # receive zeros (empty reservoirs, rejected by the depth/normal
+        # heuristics).
+        above = []  # top-to-bottom: farthest chip's slab first
+        k_up = -(-halo_up // band_h)
+        for j in range(k_up, 0, -1):
+            s_j = min(band_h, halo_up - (j - 1) * band_h)
+            perm = [(i, i + j) for i in range(n - j)]
+            above.append(jax.lax.ppermute(rows[-s_j:], "sp", perm))
+        below = []
+        k_dn = -(-halo_dn // band_h)
+        for j in range(1, k_dn + 1):
+            s_j = min(band_h, halo_dn - (j - 1) * band_h)
+            perm = [(i + j, i) for i in range(n - j)]
+            below.append(jax.lax.ppermute(rows[:s_j], "sp", perm))
+        halo_rows = jnp.concatenate(above + [rows] + below, axis=0)
+        neigh = halo_rows.reshape((band_h + halo_up + halo_dn) * width, 8)
 
         li1, ucw1 = spatial_reuse(
             surface, lights, neigh, px, py, width, height, frame_index,
-            neigh_y0=y0 - halo, neigh_rows_h=band_h + 2 * halo,
+            neigh_y0=y0 - halo_up, neigh_rows_h=band_h + halo_up + halo_dn,
         )
         surface["valid"] = gbuf["valid"]
         tris_r = trace.world_triangles(static_r, frame_r)

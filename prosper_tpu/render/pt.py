@@ -98,6 +98,14 @@ def pt_trace_pixels(
     viewport (SURVEY.md §5 "sharding axes: pixels/tiles/rays").
     """
     TILE = 256
+    if env is not None and env.ndim != 2:
+        # quad-pack the cubemap ONCE: sample_cubemap repacking inside the
+        # per-chunk/per-bounce fori_loop bodies costs 4x the cubemap's
+        # memory traffic per trace step (XLA cannot hoist it out of the
+        # loop-carried bodies)
+        from ..ops.ibl import pack_cubemap_rows
+
+        env = pack_cubemap_rows(env)
     R0 = px.shape[0]
     pad = (-R0) % TILE
     if pad:
@@ -451,9 +459,13 @@ def pt_trace_pixels(
     # ---- tile compaction: keep 256-ray tiles containing any hit ----
     hit_lane = (hit0["tri"] >= 0) & lane_real
     tile_any = jnp.any(hit_lane.reshape(n_tiles, TILE), axis=1)
-    tidx = jnp.nonzero(tile_any, size=n_tiles, fill_value=n_tiles)[0].astype(
-        jnp.int32
-    )
+    # Pad tidx to a CT multiple so the chunk dynamic_slice never clamps
+    # (a clamped start re-reads earlier tiles and the color_full scatter
+    # would accumulate their radiance twice on near-full-coverage frames).
+    tidx_size = ((n_tiles + CT - 1) // CT) * CT
+    tidx = jnp.nonzero(tile_any, size=tidx_size, fill_value=n_tiles)[
+        0
+    ].astype(jnp.int32)
     tcount = jnp.sum(tile_any.astype(jnp.int32))
     n_chunks = (tcount + CT - 1) // CT
 
