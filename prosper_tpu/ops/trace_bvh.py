@@ -207,12 +207,168 @@ def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k):
     return find_leaf
 
 
-def _closest_body(fused):
-    """Kernel body shared by the plain and fused closest-hit variants.
-    Processes TILES_PER_STEP ray tiles per grid step."""
+_KEY_INF = 0x7F61B1E0  # key bits of _INF (3e38): masked-slot sentinel threshold
 
-    def kernel(bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, *rest):
-        if fused:
+
+def _sort8_ascending(keys):
+    """(8, 1) int32 ascending bitonic sort — fully vectorized (sublane
+    rolls + selects, no scalar extraction). Stage masks derive from an
+    iota in-kernel (captured array constants are rejected by Pallas)."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    # (distance, asc-direction bit): asc(i) for stages 1-3 depends on the
+    # block bit; the final 3 merge stages are globally ascending
+    stages = [
+        (1, (pos >> 1) & 1), (2, (pos >> 2) & 1), (1, (pos >> 2) & 1),
+        (4, pos & 0), (2, pos & 0), (1, pos & 0),
+    ]
+    for d, desc_bit in stages:
+        low = (pos & d) == 0
+        partner = jnp.where(
+            low, pltpu.roll(keys, 8 - d, axis=0), pltpu.roll(keys, d, axis=0)
+        )
+        take_min = low == (desc_bit == 0)
+        keys = jnp.where(
+            take_min, jnp.minimum(keys, partner), jnp.maximum(keys, partner)
+        )
+    return keys
+
+
+def _make_descent8(nodes_ref, row_ref, kstack, parents, cursors, k):
+    """8-wide descent closure over ray tile k (see accel.bvh.pack_nodes8).
+
+    One pop tests ALL 8 children against ALL rays in two (8, 128) VPU
+    sweeps (children on sublanes, rays on lanes) instead of the BVH2's
+    per-child (2, 128) tests — the round-2 profile showed the scalar pop
+    machinery (not Möller) was ~75% of incoherent-trace time, so the
+    descent is organized to keep vector->scalar syncs off the hot path:
+
+    - child enters become int32 KEYS (positive-float enter bits, child
+      slot in the low 3 bits: unique keys break ties exactly) and are
+      bitonic-sorted ascending ENTIRELY in-register (_sort8_ascending),
+      then stored as one aligned (8, 1) frame — a single VMEM write per
+      expand, no per-child scalar extraction;
+    - the stack is a stack of 8-entry FRAMES: parents/cursors ride in
+      SMEM, pops read one key scalar and advance the frame cursor;
+      missed children (enter = _INF) sort to the frame tail, and because
+      frames are ascending, a stale pop (key >= packet-worst best-t
+      bits) kills the WHOLE remaining frame in one step;
+    - the popped child's payload is re-read from the node table
+      (nodes_ref[parent, slot, 6]) instead of riding a second sorted
+      column.
+    """
+    oxr = row_ref[k, 0:_NROWS, :]
+    oyr = row_ref[k, 2:2 + _NROWS, :]
+    ozr = row_ref[k, 4:4 + _NROWS, :]
+    ixr = row_ref[k, 6:6 + _NROWS, :]
+    iyr = row_ref[k, 8:8 + _NROWS, :]
+    izr = row_ref[k, 10:10 + _NROWS, :]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def expand(i, ub_row, fp):
+        blk = nodes_ref[i]  # (8, 8): [min.xyz | max.xyz | enc | pad]
+        bmnx = blk[:, 0:1]
+        bmny = blk[:, 1:2]
+        bmnz = blk[:, 2:3]
+        bmxx = blk[:, 3:4]
+        bmxy = blk[:, 4:5]
+        bmxz = blk[:, 5:6]
+        en = jnp.full((8, 1), _INF, jnp.float32)
+        for r in range(_NROWS):
+            ox = oxr[r:r + 1, :]
+            ix = ixr[r:r + 1, :]
+            t0x = (bmnx - ox) * ix
+            t1x = (bmxx - ox) * ix
+            oy = oyr[r:r + 1, :]
+            iy = iyr[r:r + 1, :]
+            t0y = (bmny - oy) * iy
+            t1y = (bmxy - oy) * iy
+            oz = ozr[r:r + 1, :]
+            iz = izr[r:r + 1, :]
+            t0z = (bmnz - oz) * iz
+            t1z = (bmxz - oz) * iz
+            enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            exit_ = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            ok = (enter <= exit_) & (enter < ub_row[r:r + 1, :])
+            en = jnp.minimum(
+                en, jnp.min(jnp.where(ok, enter, _INF), axis=1, keepdims=True)
+            )
+        keys = (pltpu.bitcast(en, jnp.int32) & ~7) | slot_iota
+        # missed children (en == _INF) must sort last AND always read as
+        # stale: pin them to INT32_MAX (the packed _INF bits round DOWN
+        # under the &~7 mask and would compare below an inf upper bound)
+        keys = jnp.where(en < _INF, keys, jnp.int32(2147483647))
+        fp = fp + 1
+        base = pl.multiple_of(fp * 8, 8)
+        kstack[pl.ds(base, 8), :] = _sort8_ascending(keys)
+        parents[0, fp] = i
+        cursors[0, fp] = jnp.int32(0)
+        return fp
+
+    def init_root(ub_row):
+        return expand(jnp.int32(0), ub_row, jnp.int32(-1))
+
+    def find_leaf(fp, ub_row, worst):
+        del worst  # recomputed as int bits from ub_row
+        worst_bits = jnp.max(pltpu.bitcast(ub_row, jnp.int32))
+
+        def cond(c):
+            fp, found = c
+            return (fp >= 0) & (found < 0)
+
+        def body(c):
+            fp, found = c
+            cur = cursors[0, fp]
+            key = kstack[fp * 8 + cur, 0]
+            # ascending frame: a stale head means every remaining entry
+            # is at least as far -> drop the whole frame
+            stale = (key & ~7) >= worst_bits
+
+            def skip(fp):
+                return fp - 1, found
+
+            def visit(fp):
+                parent = parents[0, fp]
+                cursors[0, fp] = cur + 1
+                fp = jnp.where(cur == 7, fp - 1, fp)
+                slot = key & 7
+                enc_i = nodes_ref[parent, slot, 6].astype(jnp.int32)
+                is_lf = enc_i < 0
+                fp = jax.lax.cond(
+                    is_lf, lambda f: f, lambda f: expand(enc_i, ub_row, f), fp
+                )
+                return fp, jnp.where(is_lf, -enc_i - 1, found)
+
+            return jax.lax.cond(stale, skip, visit, fp)
+
+        fp, found = jax.lax.while_loop(cond, body, (fp, jnp.int32(-1)))
+        return fp, found
+
+    return init_root, find_leaf
+
+
+def _closest_body(fused, wide=False):
+    """Kernel body shared by the plain and fused closest-hit variants.
+    Processes TILES_PER_STEP ray tiles per grid step. wide=True uses the
+    8-wide descent over a pack_nodes8 table instead of BVH2 SMEM scalars."""
+
+    def kernel(*args):
+        if wide:
+            (nodes_ref, cols_ref, row_ref, tris_hbm, *rest) = args
+        else:
+            (bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, *rest) = args
+        if wide:
+            if fused:
+                (out, tri_slab, attr_slab, kstack, parents, cursors,
+                 attr_scr, sems) = rest
+            else:
+                (out, tri_slab, kstack, parents, cursors, sems) = rest
+        elif fused:
             (out, tri_slab, attr_slab, stack_idx, stack_enter, attr_scr,
              sems) = rest
         else:
@@ -230,9 +386,6 @@ def _closest_body(fused):
             )
 
         def tile_body(k, _):
-            find_leaf = _make_descent(
-                bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k
-            )
             colsT = jnp.transpose(cols_ref[k], (1, 0))  # (TILE, 8)
             ox = colsT[:, 0:1]
             oy = colsT[:, 1:2]
@@ -241,12 +394,23 @@ def _closest_body(fused):
             dy = colsT[:, 4:5]
             dz = colsT[:, 5:6]
 
-            # push root
-            stack_idx[0, 0] = jnp.int32(0)
-            stack_enter[0, 0] = jnp.float32(0.0)
-
             best_row0 = row_ref[k, 12:12 + _NROWS, :]  # tmax rows
-            sp0, c0 = find_leaf(jnp.int32(1), best_row0, jnp.max(best_row0))
+            if wide:
+                init_root, find_leaf = _make_descent8(
+                    nodes_ref, row_ref, kstack, parents, cursors, k
+                )
+                fp0 = init_root(best_row0)
+                sp0, c0 = find_leaf(fp0, best_row0, jnp.max(best_row0))
+            else:
+                find_leaf = _make_descent(
+                    bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k
+                )
+                # push root
+                stack_idx[0, 0] = jnp.int32(0)
+                stack_enter[0, 0] = jnp.float32(0.0)
+                sp0, c0 = find_leaf(
+                    jnp.int32(1), best_row0, jnp.max(best_row0)
+                )
 
             def run_pipeline():
                 if fused:
@@ -564,84 +728,101 @@ def unpack_hit16(out):
     }
 
 
-def _any_kernel(bounds_ref, meta_ref, cols_ref, row_ref,
-                tris_hbm, occ_out, tri_slab, stack_idx, stack_enter, sems):
-    t_min = 0.1  # shadow-ray tMin parity (main.rgen shadow())
+def _any_body(wide=False):
+    def kernel(*args):
+        if wide:
+            (nodes_ref, cols_ref, row_ref, tris_hbm, occ_out, tri_slab,
+             kstack, parents, cursors, sems) = args
+        else:
+            (bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, occ_out,
+             tri_slab, stack_idx, stack_enter, sems) = args
+        t_min = 0.1  # shadow-ray tMin parity (main.rgen shadow())
 
-    def get_dma(slot, c):
-        return pltpu.make_async_copy(
-            tris_hbm.at[c], tri_slab.at[slot], sems.at[slot]
-        )
-
-    def tile_body(k, _):
-        find_leaf = _make_descent(
-            bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k
-        )
-        colsT = jnp.transpose(cols_ref[k], (1, 0))  # (TILE, 8)
-        ox = colsT[:, 0:1]
-        oy = colsT[:, 1:2]
-        oz = colsT[:, 2:3]
-        dx = colsT[:, 3:4]
-        dy = colsT[:, 4:5]
-        dz = colsT[:, 5:6]
-        tmax = colsT[:, 6:7]
-        tmax_row = row_ref[k, 12:12 + _NROWS, :]
-
-        stack_idx[0, 0] = jnp.int32(0)
-        stack_enter[0, 0] = jnp.float32(0.0)
-        sp0, c0 = find_leaf(jnp.int32(1), tmax_row, jnp.max(tmax_row))
-
-        def run_pipeline():
-            def cond(state):
-                return state[1] >= 0
-
-            def body(state):
-                j_, cur, sp, occ, ub_row = state
-                sp, nxt = find_leaf(sp, ub_row, jnp.max(ub_row))
-
-                @pl.when(nxt >= 0)
-                def _():
-                    get_dma(jax.lax.rem(j_ + 1, 2), nxt).start()
-
-                slot = jax.lax.rem(j_, 2)
-                get_dma(slot, cur).wait()
-                hit, t, _, _ = _moller_block(
-                    tri_slab[slot][0:9], ox, oy, oz, dx, dy, dz, t_min, tmax
-                )
-                occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(
-                    jnp.int32
-                )
-                # occluded rays drop their upper bound to 0 -> they stop
-                # steering the descent; when all rays occlude, worst hits 0
-                # and the stack drains via the stale skip
-                hit_row = jnp.max(
-                    hit.astype(jnp.float32).reshape(_NROWS, 128, 128), axis=-1
-                )
-                ub_row = jnp.where(hit_row > 0.0, 0.0, ub_row)
-                return (j_ + 1, nxt, sp, occ, ub_row)
-
-            init = (
-                jnp.int32(0),
-                c0,
-                sp0,
-                jnp.zeros((TILE, 1), jnp.int32),
-                tmax_row,
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                tris_hbm.at[c], tri_slab.at[slot], sems.at[slot]
             )
-            _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
-            occ_out[k] = jnp.transpose(occ, (1, 0))
 
-        @pl.when(c0 < 0)
-        def _():
-            occ_out[k] = jnp.zeros((1, TILE), jnp.int32)
+        def tile_body(k, _):
+            colsT = jnp.transpose(cols_ref[k], (1, 0))  # (TILE, 8)
+            ox = colsT[:, 0:1]
+            oy = colsT[:, 1:2]
+            oz = colsT[:, 2:3]
+            dx = colsT[:, 3:4]
+            dy = colsT[:, 4:5]
+            dz = colsT[:, 5:6]
+            tmax = colsT[:, 6:7]
+            tmax_row = row_ref[k, 12:12 + _NROWS, :]
 
-        @pl.when(c0 >= 0)
-        def _():
-            get_dma(0, c0).start()
-            run_pipeline()
+            if wide:
+                init_root, find_leaf = _make_descent8(
+                    nodes_ref, row_ref, kstack, parents, cursors, k
+                )
+                fp0 = init_root(tmax_row)
+                sp0, c0 = find_leaf(fp0, tmax_row, jnp.max(tmax_row))
+            else:
+                find_leaf = _make_descent(
+                    bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k
+                )
+                stack_idx[0, 0] = jnp.int32(0)
+                stack_enter[0, 0] = jnp.float32(0.0)
+                sp0, c0 = find_leaf(
+                    jnp.int32(1), tmax_row, jnp.max(tmax_row)
+                )
 
-        return 0
+            def run_pipeline():
+                def cond(state):
+                    return state[1] >= 0
 
-    jax.lax.fori_loop(0, TILES_PER_STEP, tile_body, 0)
+                def body(state):
+                    j_, cur, sp, occ, ub_row = state
+                    sp, nxt = find_leaf(sp, ub_row, jnp.max(ub_row))
+
+                    @pl.when(nxt >= 0)
+                    def _():
+                        get_dma(jax.lax.rem(j_ + 1, 2), nxt).start()
+
+                    slot = jax.lax.rem(j_, 2)
+                    get_dma(slot, cur).wait()
+                    hit, t, _, _ = _moller_block(
+                        tri_slab[slot][0:9], ox, oy, oz, dx, dy, dz, t_min, tmax
+                    )
+                    occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(
+                        jnp.int32
+                    )
+                    # occluded rays drop their upper bound to 0 -> they stop
+                    # steering the descent; when all rays occlude, worst hits 0
+                    # and the stack drains via the stale skip
+                    hit_row = jnp.max(
+                        hit.astype(jnp.float32).reshape(_NROWS, 128, 128), axis=-1
+                    )
+                    ub_row = jnp.where(hit_row > 0.0, 0.0, ub_row)
+                    return (j_ + 1, nxt, sp, occ, ub_row)
+
+                init = (
+                    jnp.int32(0),
+                    c0,
+                    sp0,
+                    jnp.zeros((TILE, 1), jnp.int32),
+                    tmax_row,
+                )
+                _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
+                occ_out[k] = jnp.transpose(occ, (1, 0))
+
+            @pl.when(c0 < 0)
+            def _():
+                occ_out[k] = jnp.zeros((1, TILE), jnp.int32)
+
+            @pl.when(c0 >= 0)
+            def _():
+                get_dma(0, c0).start()
+                run_pipeline()
+
+            return 0
+
+        jax.lax.fori_loop(0, TILES_PER_STEP, tile_body, 0)
+
+    return kernel
 
 
 @jax.jit
@@ -674,8 +855,136 @@ def trace_any_bvh(
     )
     n_tiles = n_steps * TILES_PER_STEP
     (occ,) = pl.pallas_call(
-        _any_kernel,
+        _any_body(wide=False),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.int32)],
     )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
+    return (occ.reshape(R) > 0)[:R_out]
+
+
+# ---------------------------------------------------------------------------
+# 8-wide entries (pack_nodes8 tables). Same contracts as the BVH2 entries.
+# ---------------------------------------------------------------------------
+
+FRAMES8 = 48  # frame-stack depth: >= bvh8 depth (~bvh2 depth guard + 8)
+
+
+def _in_specs8(n8):
+    K = TILES_PER_STEP
+    return [
+        pl.BlockSpec(
+            (n8, 8, 8), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((K, 8, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 16, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+
+
+def _wide_grid(n_steps, n8, out_width, fused):
+    scratch = [
+        pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
+    ]
+    if fused:
+        scratch.append(pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), jnp.float32))
+    scratch += [
+        pltpu.VMEM((FRAMES8 * 8, 1), jnp.int32),  # sorted key frames
+        pltpu.SMEM((1, FRAMES8), jnp.int32),  # frame parent node
+        pltpu.SMEM((1, FRAMES8), jnp.int32),  # frame cursor
+    ]
+    if fused:
+        scratch.append(pltpu.VMEM((TILE, 12), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((3 if fused else 2,)))
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=_in_specs8(n8),
+        out_specs=[
+            pl.BlockSpec(
+                (TILES_PER_STEP, out_width, TILE),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        scratch_shapes=scratch,
+    )
+
+
+@jax.jit
+def trace_closest_bvh8(
+    tris_packed: jnp.ndarray,  # (C, 9, 128)
+    nodes8: jnp.ndarray,  # (N8, 8, 8) f32 from accel.bvh.pack_nodes8
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+    perm=None,
+):
+    """8-wide BVH closest-hit; contract of trace_closest_bvh."""
+    del t_min
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
+    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 8, fused=False)
+    n_tiles = n_steps * TILES_PER_STEP
+    (out,) = pl.pallas_call(
+        _closest_body(fused=False, wide=True),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 8, TILE), jnp.float32)],
+    )(nodes8, cols, rowdata, tris_packed)
+    out = out.transpose(0, 2, 1).reshape(R, 8)[:R_out]
+    return {
+        "t": out[:, 0],
+        "tri": out[:, 1].astype(jnp.int32),
+        "u": out[:, 2],
+        "v": out[:, 3],
+    }
+
+
+@partial(jax.jit, static_argnames=("packed",))
+def trace_closest_bvh8_full(
+    tris_packed: jnp.ndarray,  # (C, 40, 128)
+    nodes8: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+    perm=None,
+    packed: bool = False,
+):
+    """8-wide BVH closest-hit + fused attribute interpolation; contract
+    of trace_closest_bvh_full."""
+    del t_min
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
+    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 16, fused=True)
+    n_tiles = n_steps * TILES_PER_STEP
+    (out,) = pl.pallas_call(
+        _closest_body(fused=True, wide=True),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 16, TILE), jnp.float32)],
+    )(nodes8, cols, rowdata, tris_packed)
+    out = out.transpose(0, 2, 1).reshape(R, 16)[:R_out]
+    if packed:
+        return out
+    return unpack_hit16(out)
+
+
+@jax.jit
+def trace_any_bvh8(
+    tris_packed: jnp.ndarray,
+    nodes8: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+    perm=None,
+):
+    """8-wide BVH any-hit; contract of trace_any_bvh."""
+    del t_min
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
+    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 1, fused=False)
+    n_tiles = n_steps * TILES_PER_STEP
+    (occ,) = pl.pallas_call(
+        _any_body(wide=True),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.int32)],
+    )(nodes8, cols, rowdata, tris_packed)
     return (occ.reshape(R) > 0)[:R_out]

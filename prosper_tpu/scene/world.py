@@ -28,7 +28,13 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..accel.bvh import Bvh, build_bvh, pack_nodes, transform_aabbs
+from ..accel.bvh import (
+    Bvh,
+    build_bvh,
+    pack_nodes,
+    pack_nodes8,
+    transform_aabbs,
+)
 from ..utils.logger import log_info
 from . import animation as anim
 from .camera import Camera, CameraParameters, CameraTransform
@@ -543,6 +549,7 @@ class World:
             )
         bvh: Bvh = build_bvh(wmin, wmax, max_leaf_size=1)
         bvh_bounds, bvh_meta = pack_nodes(bvh)
+        bvh_nodes8 = pack_nodes8(bvh)
         from ..ops.trace_bvh import STACK_CAP
 
         assert bvh.depth + 2 <= STACK_CAP, "scene exceeds BVH stack depth"
@@ -568,6 +575,7 @@ class World:
             "normal_transforms": normal_ms,  # (I, 3, 3)
             "bvh_bounds": bvh_bounds,  # (N, 6) kernel node bounds
             "bvh_meta": bvh_meta,  # (N, 3) left | right | leaf cluster
+            "bvh_nodes8": bvh_nodes8,  # (N8, 8, 8) 8-wide node table
             "bvh_depth": bvh.depth,
             "lights": light_uniforms(la),
             "scene_camera": st.camera,
