@@ -1,9 +1,14 @@
 #!/usr/bin/env python
-"""Headline benchmark: path-traced FlightHelmet frame throughput.
+"""Headline benchmark: all three BASELINE metrics at 1080p.
 
 Prints ONE JSON line:
   {"metric": "pt_mrays_per_s", "value": N, "unit": "Mrays/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "deferred_ms": N, "restir_ms": N}
+
+The primary metric stays the PT Mrays/s line (driver compatibility);
+`deferred_ms` / `restir_ms` are the 1024-light clustered-deferred and
+ReSTIR DI frame times from the same scene (BASELINE.json metric string:
+"Mrays/s path-trace + ms/frame deferred ReSTIR at 1080p").
 
 Baseline derivation (BASELINE.md): the north-star target is a path-traced
 frame at 1080p >= 30 FPS on one TPU v5e chip. At 1080p with 3 bounces
@@ -110,6 +115,58 @@ def main() -> int:
     rates.sort()
     mid = len(rates) // 2
     mrays = (rates[mid - 1] + rates[mid]) / 2.0 / 1e6
+
+    # --- deferred + ReSTIR ms/frame at 1024 lights (BASELINE metrics
+    # 2 and 3). Same scene, randomized point lights as bench_modes.py.
+    from prosper_tpu.render.frame import render_modes
+
+    rng = np.random.default_rng(0)
+    lo = world.wc_aabb_min_obj.min(axis=0)
+    hi = world.wc_aabb_max_obj.max(axis=0)
+    n_lights = 1024
+    world.lights.point_position[:n_lights] = rng.uniform(lo, hi, (n_lights, 3))
+    world.lights.point_radiance[:n_lights] = rng.uniform(
+        0.05, 0.5, (n_lights, 3)
+    )
+    world.lights.point_radius[:n_lights] = float(np.linalg.norm(hi - lo))
+    world.lights.point_count = n_lights
+    static_l = {
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in world.static_scene_arrays().items()
+    }
+    from prosper_tpu.ops.tonemap import load_tony_mc_mapface
+
+    lut = jnp.asarray(load_tony_mc_mapface())
+    fns = render_modes()
+    mode_ms = {}
+    for mode in ("deferred", "restir"):
+        render = fns[mode]
+        state = None
+
+        def run_mode(i, state):
+            img, state = render(
+                static=static_l, frame=frame_dev, arena=arena_dev, cam=cam,
+                lut=lut, width=WIDTH, height=HEIGHT, frame_index=i,
+                state=state, max_bounces=MAX_BOUNCES,
+            )
+            return img, state
+
+        for i in range(2):  # warmup/compile
+            img, state = run_mode(i, state)
+            float(img.mean())
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            img, state = run_mode(2 + i, state)
+            float(img.mean())
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        mode_ms[mode] = times[len(times) // 2] * 1e3
+
     print(
         json.dumps(
             {
@@ -117,6 +174,8 @@ def main() -> int:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+                "deferred_ms": round(mode_ms["deferred"], 1),
+                "restir_ms": round(mode_ms["restir"], 1),
             }
         )
     )

@@ -241,6 +241,9 @@ def main(argv: list[str] | None = None) -> int:
 
     state = None
     img = None
+    from ..render.readback import TextureReadback
+
+    focus_readback = TextureReadback()
     # two frames in flight (src/utils/Utils.hpp:15 MAX_FRAMES_IN_FLIGHT):
     # JAX async dispatch stands in for the command-buffer queue — frame
     # f+1's host prep (animation, frame_arrays, BVH build) overlaps frame
@@ -300,13 +303,17 @@ def main(argv: list[str] | None = None) -> int:
                         for k, v in world.static_scene_arrays().items()
                     }
                     world.streaming_dirty = False
-        if args.autofocus and isinstance(state, dict) and state.get("depth") is not None:
-            # depth-pick readback lands a frame late (App.cpp:607-631)
-            from ..render.readback import pick_focus_distance
+        if args.autofocus:
+            # non-stalling depth-pick: poll the readback queued ~a frame
+            # ago (TextureReadback / App.cpp:607-631 protocol); the D2H
+            # copy overlapped the intervening device work
+            d = focus_readback.poll()
+            if d is not None:
+                from ..render.readback import focus_from_depth
 
-            cam_obj.parameters.focus_distance = pick_focus_distance(
-                state["depth"], cam_obj.uniforms(), (0.5, 0.5)
-            )
+                cam_obj.parameters.focus_distance = focus_from_depth(
+                    float(d), cam_obj.uniforms()
+                )
         t_anim = args.time + (f / 60.0 if args.animate else 0.0)
         frame = world.frame_arrays(t_anim)
         frame_dev = {
@@ -346,6 +353,9 @@ def main(argv: list[str] | None = None) -> int:
             alpha_rounds=2 if bool((world.materials.alpha_mode != 0).any()) else 0,
         )
         inflight.append((f, img, t0))
+        if args.autofocus and isinstance(state, dict) and state.get("depth") is not None:
+            # queue this frame's center-depth pick; polled next frame
+            focus_readback.queue(state["depth"], (0.5, 0.5))
         # profiling needs per-frame sync for honest scope attribution
         _drain(1 if args.profile else 2)
         cam_obj.end_frame()

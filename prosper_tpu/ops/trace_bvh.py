@@ -210,10 +210,11 @@ def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k):
 _KEY_INF = 0x7F61B1E0  # key bits of _INF (3e38): masked-slot sentinel threshold
 
 
-def _sort8_ascending(keys):
+def _sort8_ascending(keys, payload=None):
     """(8, 1) int32 ascending bitonic sort — fully vectorized (sublane
     rolls + selects, no scalar extraction). Stage masks derive from an
-    iota in-kernel (captured array constants are rejected by Pallas)."""
+    iota in-kernel (captured array constants are rejected by Pallas).
+    `payload` (8, 1) rides along the same swaps (keys must be unique)."""
     pos = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     # (distance, asc-direction bit): asc(i) for stages 1-3 depends on the
     # block bit; the final 3 merge stages are globally ascending
@@ -227,13 +228,23 @@ def _sort8_ascending(keys):
             low, pltpu.roll(keys, 8 - d, axis=0), pltpu.roll(keys, d, axis=0)
         )
         take_min = low == (desc_bit == 0)
-        keys = jnp.where(
+        new_keys = jnp.where(
             take_min, jnp.minimum(keys, partner), jnp.maximum(keys, partner)
         )
+        if payload is not None:
+            p_partner = jnp.where(
+                low,
+                pltpu.roll(payload, 8 - d, axis=0),
+                pltpu.roll(payload, d, axis=0),
+            )
+            payload = jnp.where(new_keys != keys, p_partner, payload)
+        keys = new_keys
+    if payload is not None:
+        return keys, payload
     return keys
 
 
-def _make_descent8(nodes_ref, row_ref, kstack, parents, cursors, k):
+def _make_descent8(nodes_ref, row_ref, kstack, cstack, cursors, k):
     """8-wide descent closure over ray tile k (see accel.bvh.pack_nodes8).
 
     One pop tests ALL 8 children against ALL rays in two (8, 128) VPU
@@ -247,14 +258,13 @@ def _make_descent8(nodes_ref, row_ref, kstack, parents, cursors, k):
       bitonic-sorted ascending ENTIRELY in-register (_sort8_ascending),
       then stored as one aligned (8, 1) frame — a single VMEM write per
       expand, no per-child scalar extraction;
-    - the stack is a stack of 8-entry FRAMES: parents/cursors ride in
-      SMEM, pops read one key scalar and advance the frame cursor;
-      missed children (enter = _INF) sort to the frame tail, and because
+    - the stack is a stack of 8-entry FRAMES: the encoded child rides a
+      second sorted column (cstack) so a pop is two INDEPENDENT scalar
+      reads (key + enc) instead of a serial cur -> key -> parent ->
+      node-table chain; cursors ride in SMEM. Missed children
+      (enter = _INF) sort to the frame tail as INT32_MAX, and because
       frames are ascending, a stale pop (key >= packet-worst best-t
-      bits) kills the WHOLE remaining frame in one step;
-    - the popped child's payload is re-read from the node table
-      (nodes_ref[parent, slot, 6]) instead of riding a second sorted
-      column.
+      bits) kills the WHOLE remaining frame in one step.
     """
     oxr = row_ref[k, 0:_NROWS, :]
     oyr = row_ref[k, 2:2 + _NROWS, :]
@@ -303,10 +313,12 @@ def _make_descent8(nodes_ref, row_ref, kstack, parents, cursors, k):
         # stale: pin them to INT32_MAX (the packed _INF bits round DOWN
         # under the &~7 mask and would compare below an inf upper bound)
         keys = jnp.where(en < _INF, keys, jnp.int32(2147483647))
+        encs = blk[:, 6:7].astype(jnp.int32)
+        keys, encs = _sort8_ascending(keys, encs)
         fp = fp + 1
         base = pl.multiple_of(fp * 8, 8)
-        kstack[pl.ds(base, 8), :] = _sort8_ascending(keys)
-        parents[0, fp] = i
+        kstack[pl.ds(base, 8), :] = keys
+        cstack[pl.ds(base, 8), :] = encs
         cursors[0, fp] = jnp.int32(0)
         return fp
 
@@ -324,27 +336,26 @@ def _make_descent8(nodes_ref, row_ref, kstack, parents, cursors, k):
         def body(c):
             fp, found = c
             cur = cursors[0, fp]
-            key = kstack[fp * 8 + cur, 0]
+            idx = fp * 8 + cur
+            key = kstack[idx, 0]
+            enc_i = cstack[idx, 0]  # independent of `key`: loads overlap
             # ascending frame: a stale head means every remaining entry
-            # is at least as far -> drop the whole frame
+            # is at least as far -> drop the whole frame. The pop path is
+            # BRANCH-FREE (selects, unconditional cursor write) except
+            # the rare expand cond: lax.cond branches cost more than the
+            # loads here.
             stale = (key & ~7) >= worst_bits
-
-            def skip(fp):
-                return fp - 1, found
-
-            def visit(fp):
-                parent = parents[0, fp]
-                cursors[0, fp] = cur + 1
-                fp = jnp.where(cur == 7, fp - 1, fp)
-                slot = key & 7
-                enc_i = nodes_ref[parent, slot, 6].astype(jnp.int32)
-                is_lf = enc_i < 0
-                fp = jax.lax.cond(
-                    is_lf, lambda f: f, lambda f: expand(enc_i, ub_row, f), fp
-                )
-                return fp, jnp.where(is_lf, -enc_i - 1, found)
-
-            return jax.lax.cond(stale, skip, visit, fp)
+            cursors[0, fp] = cur + 1  # harmless when stale (frame drops)
+            fp = jnp.where(stale | (cur == 7), fp - 1, fp)
+            is_lf = enc_i < 0
+            found = jnp.where(~stale & is_lf, -enc_i - 1, found)
+            fp = jax.lax.cond(
+                stale | is_lf,
+                lambda f: f,
+                lambda f: expand(enc_i, ub_row, f),
+                fp,
+            )
+            return fp, found
 
         fp, found = jax.lax.while_loop(cond, body, (fp, jnp.int32(-1)))
         return fp, found
@@ -364,10 +375,10 @@ def _closest_body(fused, wide=False):
             (bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, *rest) = args
         if wide:
             if fused:
-                (out, tri_slab, attr_slab, kstack, parents, cursors,
+                (out, tri_slab, attr_slab, kstack, cstack, cursors,
                  attr_scr, sems) = rest
             else:
-                (out, tri_slab, kstack, parents, cursors, sems) = rest
+                (out, tri_slab, kstack, cstack, cursors, sems) = rest
         elif fused:
             (out, tri_slab, attr_slab, stack_idx, stack_enter, attr_scr,
              sems) = rest
@@ -397,7 +408,7 @@ def _closest_body(fused, wide=False):
             best_row0 = row_ref[k, 12:12 + _NROWS, :]  # tmax rows
             if wide:
                 init_root, find_leaf = _make_descent8(
-                    nodes_ref, row_ref, kstack, parents, cursors, k
+                    nodes_ref, row_ref, kstack, cstack, cursors, k
                 )
                 fp0 = init_root(best_row0)
                 sp0, c0 = find_leaf(fp0, best_row0, jnp.max(best_row0))
@@ -732,7 +743,7 @@ def _any_body(wide=False):
     def kernel(*args):
         if wide:
             (nodes_ref, cols_ref, row_ref, tris_hbm, occ_out, tri_slab,
-             kstack, parents, cursors, sems) = args
+             kstack, cstack, cursors, sems) = args
         else:
             (bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, occ_out,
              tri_slab, stack_idx, stack_enter, sems) = args
@@ -756,7 +767,7 @@ def _any_body(wide=False):
 
             if wide:
                 init_root, find_leaf = _make_descent8(
-                    nodes_ref, row_ref, kstack, parents, cursors, k
+                    nodes_ref, row_ref, kstack, cstack, cursors, k
                 )
                 fp0 = init_root(tmax_row)
                 sp0, c0 = find_leaf(fp0, tmax_row, jnp.max(tmax_row))
@@ -889,7 +900,7 @@ def _wide_grid(n_steps, n8, out_width, fused):
         scratch.append(pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), jnp.float32))
     scratch += [
         pltpu.VMEM((FRAMES8 * 8, 1), jnp.int32),  # sorted key frames
-        pltpu.SMEM((1, FRAMES8), jnp.int32),  # frame parent node
+        pltpu.VMEM((FRAMES8 * 8, 1), jnp.int32),  # sorted enc frames
         pltpu.SMEM((1, FRAMES8), jnp.int32),  # frame cursor
     ]
     if fused:

@@ -22,6 +22,74 @@ from ..ops.rays import pinhole_rays
 from .surface import evaluate_surface
 
 
+def mask_discard_retrace(arena, trace_fn, o, d, hit, rounds: int):
+    """Alpha-mask discard for the raster-analog paths (gbuffer.frag:61-63,
+    forward.frag:56-58: fragments whose mask test failed are `discard`ed).
+
+    Deterministic, unlike PT's stochastic any-hit: a hit on an
+    alphaMode==MASK material whose sampled alpha fails the cutoff is
+    ignored and the ray re-traced from just past it, up to `rounds`
+    layers. Tile-compacted on mask-material hits so opaque scenes pay one
+    small gather; rays (o, d) and `hit` must be in the same (block)
+    order and R a multiple of 256."""
+    from ..ops.compact import tile_apply
+    from ..ops.texture import sample_alpha_packed
+
+    R = o.shape[0]
+    pad = (-R) % 256
+    if pad:
+        def _p(a):
+            return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+
+        o, d = _p(o), _p(d)
+        hit_in = {k: _p(v) for k, v in hit.items()}
+        hit_in["tri"] = hit_in["tri"].at[R:].set(-1)
+    else:
+        hit_in = hit
+
+    mat_mode = arena["mat_i32"][hit_in["material"], 0]
+    cand = (hit_in["tri"] >= 0) & (mat_mode == 1)
+
+    def _fn(c_in, lane_ok):
+        o_c, d_c, hit_c = c_in
+        hit_c = dict(hit_c)
+        t_off = jnp.zeros_like(hit_c["t"])
+        for _ in range(rounds):
+            a = sample_alpha_packed(arena, hit_c["material"], hit_c["uv"])
+            ignore = lane_ok & (hit_c["tri"] >= 0) & (a == 0.0)
+            adv = jnp.where(ignore, hit_c["t"] * (1.0 + 1e-4) + 1e-5, 0.0)
+            o_c = o_c + d_c * adv[..., None]
+            t_off = t_off + adv
+            import jax.numpy as _jnp
+
+            hit2 = trace_fn(
+                o_c, d_c, 0.0, jnp.where(ignore, _jnp.inf, 0.0)
+            )
+            hit_c = {
+                k: jnp.where(
+                    ignore.reshape(ignore.shape + (1,) * (hit_c[k].ndim - 1)),
+                    hit2[k],
+                    hit_c[k],
+                )
+                for k in hit_c
+            }
+        hit_c["t"] = hit_c["t"] + t_off
+        return hit_c
+
+    out = tile_apply(cand, _fn, (o, d, hit_in))
+    merged = {
+        k: jnp.where(
+            cand.reshape(cand.shape + (1,) * (hit_in[k].ndim - 1)),
+            out[k],
+            hit_in[k],
+        )
+        for k in hit_in
+    }
+    if pad:
+        merged = {k: v[:R] for k, v in merged.items()}
+    return merged
+
+
 def _masked_aabbs(wc_min, wc_max, mask):
     """Inverted (empty) AABBs for culled clusters: the conservative packet
     cull then never visits them (the draw-list analog)."""

@@ -26,30 +26,41 @@ class TextureReadback:
         h, w = image.shape[:2]
         x = min(int(uv[0] * w), w - 1)
         y = min(int(uv[1] * h), h - 1)
-        # async one-element slice; device->host copy resolves on poll
-        self._pending = jax.device_get(image[y, x])  # noqa: device_get is async-ish
-        self._value = image[y, x]
+        # keep the 1-element DEVICE array: the slice dispatches
+        # asynchronously and the D2H transfer is started eagerly below,
+        # but the host never blocks here — resolution happens at poll,
+        # ~2 frames later (App.cpp:607-631 copy/poll protocol)
+        self._pending = image[y, x]
+        try:  # start the transfer in the background where supported
+            self._pending.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
 
     def poll(self):
         """Returns the sampled value or None (startFrame/poll protocol)."""
         if self._pending is None:
             return None
-        v = self._pending
+        v = jax.device_get(self._pending)
         self._pending = None
         return v
 
 
+def focus_from_depth(d: float, cam: dict) -> float:
+    """Convert a picked reverse-z depth value to focusDistance
+    (linearizeDepth, scene/camera.glsl:11-22; App.cpp:607-631)."""
+    c2c = cam["camera_to_clip"]
+    lin = -float(c2c[2, 3]) / (d + float(c2c[2, 2]))
+    return max(-lin, float(cam["near"]))
+
+
 def pick_focus_distance(depth: jnp.ndarray, cam: dict, uv) -> float:
-    """Depth picking -> focusDistance (App.cpp:607-631): convert the
-    picked reverse-z depth to view-space distance."""
+    """Depth picking -> focusDistance (App.cpp:607-631). Blocking
+    convenience (tests); the CLI uses TextureReadback + focus_from_depth
+    for the non-stalling 2-frame-late protocol."""
     h, w = depth.shape
     x = min(int(uv[0] * w), w - 1)
     y = min(int(uv[1] * h), h - 1)
-    d = float(depth[y, x])
-    c2c = cam["camera_to_clip"]
-    # linearizeDepth (scene/camera.glsl:11-22)
-    lin = -float(c2c[2, 3]) / (d + float(c2c[2, 2]))
-    return max(-lin, float(cam["near"]))
+    return focus_from_depth(float(depth[y, x]), cam)
 
 
 class DrawStats:

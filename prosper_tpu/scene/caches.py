@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-MESH_CACHE_VERSION = 3  # v3: quantized vertex formats (Mesh.hpp:11-15 parity)
+MESH_CACHE_VERSION = 4  # v4: binned-SAH triangle clustering (was Morton)
 TEXTURE_CACHE_VERSION = 1
 
 

@@ -70,6 +70,75 @@ class MeshClusters:
     sphere_radius: np.ndarray  # (C,) f32
 
 
+def sah_cluster_ranges(
+    v: np.ndarray, tris: np.ndarray, max_tris: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-down ALIGNED-SAH triangle partition into max_tris clusters.
+
+    Returns (order, offsets, counts): `order` permutes triangles so each
+    cluster's triangles are contiguous, clusters listed left-to-right.
+
+    Replaces the Morton-curve + fixed-stride chunking: Morton runs cross
+    surface discontinuities, producing elongated overlapping cluster
+    AABBs — the round-2 profile measured incoherent bounce packets
+    union-visiting ~92 cluster leaves while each ray needs ~11. Each
+    node sorts its triangles along each axis and evaluates the EXACT SAH
+    cost at every max_tris-ALIGNED cut position, picking the best
+    (axis, cut): cluster count stays exactly ceil(T / max_tris) with
+    every cluster full except one — the streaming placeholders and slot
+    arenas keep their layout, and full 124-triangle leaves keep the
+    traversal kernels' Möller density — while cluster bounds become
+    near-SAH-optimal.
+    """
+    T = len(tris)
+    p0, p1, p2 = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
+    cent = ((p0 + p1 + p2) / 3.0).astype(np.float32)
+    tmin = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
+    tmax = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+
+    def half_area(d):
+        return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+    order = np.arange(T)
+    ranges: list[tuple[int, int]] = []
+    stack = [(0, T)]
+    while stack:
+        s, e = stack.pop()
+        count = e - s
+        if count <= max_tris:
+            ranges.append((s, e))
+            continue
+        idx = order[s:e]
+        c = cent[idx]
+        # aligned candidate cuts keep the left side a multiple of
+        # max_tris, so every cluster left of any cut fills completely
+        cuts = np.arange(max_tris, count, max_tris)
+        best = None  # (cost, axis, perm-by-axis, mid)
+        for axis in range(3):
+            srt = np.argsort(c[:, axis], kind="stable")
+            mn = tmin[idx][srt]
+            mx = tmax[idx][srt]
+            # prefix/suffix bounds -> exact SAH at each aligned cut
+            lmn = np.minimum.accumulate(mn, axis=0)[cuts - 1]
+            lmx = np.maximum.accumulate(mx, axis=0)[cuts - 1]
+            rmn = np.minimum.accumulate(mn[::-1], axis=0)[::-1][cuts]
+            rmx = np.maximum.accumulate(mx[::-1], axis=0)[::-1][cuts]
+            cost = half_area(np.maximum(lmx - lmn, 0.0)) * cuts + half_area(
+                np.maximum(rmx - rmn, 0.0)
+            ) * (count - cuts)
+            k = int(np.argmin(cost))
+            if best is None or cost[k] < best[0]:
+                best = (float(cost[k]), axis, srt, int(cuts[k]))
+        _, _, srt, mid = best
+        order[s:e] = idx[srt]
+        stack.append((s + mid, e))
+        stack.append((s, s + mid))
+    ranges.sort()
+    offsets = np.array([s for s, _ in ranges], np.uint32)
+    counts = np.array([e - s for s, e in ranges], np.uint32)
+    return order, offsets, counts
+
+
 def build_clusters(
     positions: np.ndarray,
     indices: np.ndarray,
@@ -77,20 +146,17 @@ def build_clusters(
 ) -> MeshClusters:
     """Cluster a triangle mesh into spatially-coherent meshlets.
 
-    Uses the native C++ pipeline (cpp/asset_pipeline.cpp) when built;
-    numpy otherwise."""
+    Triangle partition is binned-SAH (sah_cluster_ranges); per-cluster
+    bounds come from the native C++ pipeline (cpp/asset_pipeline.cpp)
+    when built, numpy otherwise."""
     from . import native
 
     tris = indices.reshape(-1, 3).astype(np.uint32)
     v = positions.astype(np.float32)
 
     if native.available():
-        order = native.morton_order(v, tris)
+        order, offsets, counts = sah_cluster_ranges(v, tris, max_tris)
         tris = tris[order]
-        n_tris = len(tris)
-        n_clusters = max(1, -(-n_tris // max_tris))
-        offsets = (np.arange(n_clusters) * max_tris).astype(np.uint32)
-        counts = np.minimum(n_tris - offsets, max_tris).astype(np.uint32)
         bounds = native.cluster_bounds(v, tris, offsets, counts)
         aabb_min, aabb_max, center, radius, axis, cutoff = bounds
         return MeshClusters(
@@ -105,17 +171,11 @@ def build_clusters(
             sphere_radius=radius,
         )
 
-    p0, p1, p2 = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
-    centroids = (p0 + p1 + p2) / 3.0
-    order = morton_order(centroids)
+    order, offsets, counts = sah_cluster_ranges(v, tris, max_tris)
     tris = tris[order]
-    p0, p1, p2 = p0[order], p1[order], p2[order]
+    p0, p1, p2 = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
 
-    n_tris = len(tris)
-    n_clusters = max(1, -(-n_tris // max_tris))
-    offsets = (np.arange(n_clusters) * max_tris).astype(np.uint32)
-    counts = np.minimum(n_tris - offsets, max_tris).astype(np.uint32)
-
+    n_clusters = len(offsets)
     aabb_min = np.empty((n_clusters, 3), np.float32)
     aabb_max = np.empty((n_clusters, 3), np.float32)
     cone_apex = np.empty((n_clusters, 3), np.float32)

@@ -135,3 +135,27 @@ def test_autofocus_pick_from_state_depth():
     focus = pick_focus_distance(state["depth"], cam, uv)
     # the box grid sits a handful of units from the test camera
     assert 1.0 < focus < 30.0
+
+
+def test_texture_readback_queue_is_async():
+    """queue() must not resolve the value on the host (App.cpp:607-631:
+    the copy is polled ~2 frames later, never stalling the queueing
+    frame). The pending slot must stay a device array until poll."""
+    import jax
+
+    from prosper_tpu.render.readback import TextureReadback, focus_from_depth
+
+    rb = TextureReadback()
+    img = jnp.ones((8, 8), jnp.float32) * 0.25
+    rb.queue(img, (0.5, 0.5))
+    assert isinstance(rb._pending, jax.Array)  # no host materialization
+    v = rb.poll()
+    assert float(v) == 0.25
+    assert rb.poll() is None  # drained
+    # focus conversion matches the blocking helper
+    cam = {
+        "camera_to_clip": np.diag([1.0, 1.0, 0.0, 1.0]).astype(np.float32),
+        "near": 0.1,
+    }
+    cam["camera_to_clip"][2, 3] = 0.1
+    assert focus_from_depth(0.5, cam) > 0.0
