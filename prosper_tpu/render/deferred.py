@@ -96,6 +96,7 @@ def shade_deferred(
     static_argnames=(
         "width", "height", "use_taa", "use_bloom", "use_dof", "use_culling",
         "use_transparent", "use_particles", "bloom_technique",
+        "alpha_rounds",
     ),
 )
 def render_deferred(
@@ -120,6 +121,7 @@ def render_deferred(
     bloom_technique: str = "multi_res",
     bloom_kernel: jnp.ndarray | None = None,
     particle_state: dict | None = None,
+    alpha_rounds: int = 0,
 ):
     """Deferred frame + optional post chain, in the reference's pass order
     (Renderer.cpp:485-584): skybox -> transparent -> bloom -> particles ->
@@ -133,6 +135,7 @@ def render_deferred(
         static_scene, frame, arena, cam, width, height,
         use_culling=use_culling, prev_hiz=prev_hiz,
         lod_bias=-1.0 if use_taa else 0.0,
+        alpha_rounds=alpha_rounds,
     )
     clusters = (
         None
@@ -211,6 +214,9 @@ def render_deferred(
         "taa_history": new_history,
         "particles": new_particles,
         "depth": gbuf["depth"].reshape(height, width),
+        # preserve()d depth pyramid: next frame's phase-1 occlusion cull
+        # tests against it (ForwardRenderer.hpp:142)
+        "hiz": gbuf["hiz"],
     }
     return img, aux
 
@@ -286,16 +292,19 @@ def deferred_entry(
         taa_history=state.get("taa_history"),
         ibl_data=kwargs.get("ibl_data"),
         use_culling=kwargs.get("use_culling", False),
+        prev_hiz=state.get("hiz"),
         use_transparent=use_transparent,
         use_particles=use_particles,
         bloom_technique=bloom_technique,
         bloom_kernel=bloom_kernel,
         particle_state=particles,
+        alpha_rounds=kwargs.get("alpha_rounds", 0),
     )
     new_state = {
         "taa_history": aux["taa_history"],
         "particles": aux["particles"],
         "bloom_kernel": bloom_kernel,
         "depth": aux["depth"],
+        "hiz": aux["hiz"],
     }
     return img, new_state

@@ -72,7 +72,9 @@ def eval_all_lights(surface: dict, lights: dict) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "draw_type", "use_transparent"),
+    static_argnames=(
+        "width", "height", "draw_type", "use_transparent", "alpha_rounds"
+    ),
 )
 def render_forward(
     static_scene: dict,
@@ -86,6 +88,7 @@ def render_forward(
     contrast: float = 1.0,
     draw_type: int = 0,
     use_transparent: bool = False,
+    alpha_rounds: int = 0,
 ):
     """One forward frame -> (H, W, 3) display-encoded image."""
     # pixel-center rays (no jitter for the still-frame golden), traced
@@ -125,6 +128,13 @@ def render_forward(
     hit = {k: trace.permute16(v, inv16) for k, v in hit.items()}
     o = trace.permute16(o, inv16)
     d = trace.permute16(d, inv16)
+    if alpha_rounds and "mat_i32" in arena:
+        # alpha-mask discard (forward.frag:56-58)
+        from .gbuffer import mask_discard_retrace
+
+        hit = mask_discard_retrace(
+            arena, static_scene, closest_fn, o, d, hit, alpha_rounds
+        )
     from .surface import pixel_cone_alpha
 
     cone = {"alpha": pixel_cone_alpha(cam, height), "bias": 0.0}

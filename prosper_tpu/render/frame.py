@@ -27,11 +27,12 @@ def _forward_entry(
     state=None,
     draw_type=0,
     use_transparent=False,
-    **_,
+    **kw,
 ):
     img = render_forward(
         static, frame, arena, cam, lut, width, height, exposure, contrast,
         draw_type, use_transparent,
+        alpha_rounds=kw.get("alpha_rounds", 0),
     )
     return img, state
 

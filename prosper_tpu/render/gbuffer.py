@@ -22,7 +22,8 @@ from ..ops.rays import pinhole_rays
 from .surface import evaluate_surface
 
 
-def mask_discard_retrace(arena, trace_fn, o, d, hit, rounds: int):
+def mask_discard_retrace(arena, static_scene, trace_fn, o, d, hit,
+                         rounds: int):
     """Alpha-mask discard for the raster-analog paths (gbuffer.frag:61-63,
     forward.frag:56-58: fragments whose mask test failed are `discard`ed).
 
@@ -31,9 +32,25 @@ def mask_discard_retrace(arena, trace_fn, o, d, hit, rounds: int):
     ignored and the ray re-traced from just past it, up to `rounds`
     layers. Tile-compacted on mask-material hits so opaque scenes pay one
     small gather; rays (o, d) and `hit` must be in the same (block)
-    order and R a multiple of 256."""
+    order. Handles both hit forms: the fused kernel's (material/uv
+    packed in the hit rows) and trace_closest's (t, tri, u, v)."""
     from ..ops.compact import tile_apply
     from ..ops.texture import sample_alpha_packed
+
+    def _mat_uv(h):
+        if "material" in h:
+            return h["material"], h["uv"]
+        tri = jnp.maximum(h["tri"], 0)
+        aidx = static_scene["wt_aidx"][tri]
+        ap = static_scene["a_packed"]
+        u = h["u"][..., None]
+        v = h["v"][..., None]
+        uv = (
+            (1.0 - u - v) * ap[aidx[..., 0], 7:9]
+            + u * ap[aidx[..., 1], 7:9]
+            + v * ap[aidx[..., 2], 7:9]
+        )
+        return static_scene["wt_material"][tri], uv
 
     R = o.shape[0]
     pad = (-R) % 256
@@ -47,7 +64,8 @@ def mask_discard_retrace(arena, trace_fn, o, d, hit, rounds: int):
     else:
         hit_in = hit
 
-    mat_mode = arena["mat_i32"][hit_in["material"], 0]
+    mat0, _ = _mat_uv(hit_in)
+    mat_mode = arena["mat_i32"][mat0, 0]
     cand = (hit_in["tri"] >= 0) & (mat_mode == 1)
 
     def _fn(c_in, lane_ok):
@@ -55,15 +73,14 @@ def mask_discard_retrace(arena, trace_fn, o, d, hit, rounds: int):
         hit_c = dict(hit_c)
         t_off = jnp.zeros_like(hit_c["t"])
         for _ in range(rounds):
-            a = sample_alpha_packed(arena, hit_c["material"], hit_c["uv"])
+            mat_c, uv_c = _mat_uv(hit_c)
+            a = sample_alpha_packed(arena, mat_c, uv_c)
             ignore = lane_ok & (hit_c["tri"] >= 0) & (a == 0.0)
             adv = jnp.where(ignore, hit_c["t"] * (1.0 + 1e-4) + 1e-5, 0.0)
             o_c = o_c + d_c * adv[..., None]
             t_off = t_off + adv
-            import jax.numpy as _jnp
-
             hit2 = trace_fn(
-                o_c, d_c, 0.0, jnp.where(ignore, _jnp.inf, 0.0)
+                o_c, d_c, 0.0, jnp.where(ignore, jnp.inf, 0.0)
             )
             hit_c = {
                 k: jnp.where(
@@ -112,6 +129,7 @@ def render_gbuffer(
     lod_bias: float = 0.0,
     y_offset=0,
     full_height: int | None = None,
+    alpha_rounds: int = 0,
 ):
     """Trace primary rays and produce the G-buffer pytree (flat R = W*H).
 
@@ -264,6 +282,18 @@ def render_gbuffer(
         axis=-1,
     )
     o, d = pinhole_rays(cam, uv_rm + jit * jnp.array([0.5, -0.5]))
+    if alpha_rounds and "mat_i32" in arena:
+        # alpha-mask discard (gbuffer.frag:61-63): failed-mask hits are
+        # re-traced past the cut-out instead of shading opaque
+        if use_full and bvh is not None and not use_culling:
+            retrace_fn = make_closest(None, None)
+        else:
+            retrace_fn = make_closest(
+                frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
+            )
+        hit = mask_discard_retrace(
+            arena, static_scene, retrace_fn, o, d, hit, alpha_rounds
+        )
     # ray-cone mip selection: the raster path's derivative LOD analog,
     # lodBias -1 under TAA (Renderer.cpp:709-715)
     from .surface import pixel_cone_alpha

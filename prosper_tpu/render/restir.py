@@ -278,7 +278,7 @@ def restir_shade(
     return jnp.where(valid[..., None], color, 0.0)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "alpha_rounds"))
 def render_restir(
     static_scene: dict,
     frame: dict,
@@ -290,11 +290,15 @@ def render_restir(
     frame_index,
     exposure: float = 1.0,
     contrast: float = 1.0,
+    alpha_rounds: int = 0,
 ):
     """Full ReSTIR DI frame: G-buffer -> reservoirs -> spatial -> trace."""
     from .gbuffer import render_gbuffer
 
-    gbuf = render_gbuffer(static_scene, frame, arena, cam, width, height)
+    gbuf = render_gbuffer(
+        static_scene, frame, arena, cam, width, height,
+        alpha_rounds=alpha_rounds,
+    )
     surface = dict(gbuf["surface"])
     # linear depth from the non-linear buffer like the comp shaders
     c2c = cam["camera_to_clip"]
@@ -372,10 +376,11 @@ def restir_entry(
     contrast=1.0,
     frame_index=0,
     state=None,
-    **_,
+    **kw,
 ):
     img, color = render_restir(
-        static, frame, arena, cam, lut, width, height, frame_index, exposure, contrast
+        static, frame, arena, cam, lut, width, height, frame_index,
+        exposure, contrast, alpha_rounds=kw.get("alpha_rounds", 0),
     )
     # running-mean accumulation like the reference trace pass
     color = color.reshape(height, width, 3)

@@ -117,3 +117,58 @@ def test_alpha_retrace_passes_through_masked_surface():
     # guard as well) — the distinguishing signal is the hit mask, checked
     # via a blend material below
     del b, real_backend, trace_mod
+
+
+def _masked_scene(n_boxes=4):
+    static, frame, arena, cam_fn = make_test_scene(n_boxes=n_boxes)
+    # every cluster uses material 1: make it a failing mask (cut-out
+    # everywhere -> discard must reveal the background)
+    mats = {k: np.array(v) for k, v in static["materials"].items()}
+    mats["alpha_mode"][1] = 1
+    mats["base_color_factor"][1, 3] = 0.0
+    static = dict(static)
+    static["materials"] = mats
+    static, frame, arena = _dev(static), _dev(frame), _dev(arena)
+    arena = dict(arena)
+    from prosper_tpu.ops.texture import pack_material_tables as _pack
+
+    arena["mat_f32"], arena["mat_i32"] = _pack(static["materials"], arena)
+    return static, frame, arena, cam_fn
+
+
+def test_mask_discard_gbuffer():
+    """gbuffer.frag:61-63 parity: failed-mask fragments are discarded —
+    the G-buffer must show background through the cut-outs (deferred and
+    ReSTIR share this path)."""
+    from prosper_tpu.render.gbuffer import render_gbuffer
+
+    static, frame, arena, cam_fn = _masked_scene()
+    W = H = 32
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(W, H).items()}
+    g0 = render_gbuffer(static, frame, arena, cam, W, H, alpha_rounds=0)
+    g2 = render_gbuffer(static, frame, arena, cam, W, H, alpha_rounds=2)
+    v0 = np.asarray(g0["valid"])
+    v2 = np.asarray(g2["valid"])
+    assert v0.sum() > 0  # without discard the cut-out shades opaque
+    assert v2.sum() == 0  # with discard every masked hit is skipped
+
+
+def test_mask_discard_forward():
+    """forward.frag:56-58 parity: the forward image with discard is the
+    pure background (every surface is a failed mask)."""
+    from prosper_tpu.render.forward import render_forward
+    from prosper_tpu.ops.tonemap import load_tony_mc_mapface
+
+    static, frame, arena, cam_fn = _masked_scene()
+    W = H = 32
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(W, H).items()}
+    lut = jnp.asarray(load_tony_mc_mapface())
+    img0 = np.asarray(
+        render_forward(static, frame, arena, cam, lut, W, H, alpha_rounds=0)
+    )
+    img2 = np.asarray(
+        render_forward(static, frame, arena, cam, lut, W, H, alpha_rounds=2)
+    )
+    # discard removes every hit -> constant background image
+    assert np.allclose(img2, img2.reshape(-1, 3)[0])
+    assert not np.allclose(img0, img0.reshape(-1, 3)[0])

@@ -161,3 +161,27 @@ def test_deferred_matches_forward_still_frame():
     )
     # same lighting math; differences only from oct-encode quantization
     np.testing.assert_allclose(np.asarray(img_d), np.asarray(img_f), atol=5e-3)
+
+
+def test_deferred_state_threads_hiz_across_frames():
+    """The depth pyramid is preserve()d across frames
+    (ForwardRenderer.hpp:142): frame 2's phase-1 cull tests against
+    frame 1's HiZ and the image stays identical (static camera)."""
+    from prosper_tpu.render.deferred import deferred_entry
+    from prosper_tpu.ops.tonemap import load_tony_mc_mapface
+
+    static, frame, arena, cam_fn = make_test_scene()
+    width = height = 64
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(width, height).items()}
+    lut = jnp.asarray(load_tony_mc_mapface())
+    kw = dict(
+        static=_dev(static), frame=_dev(frame), arena=_dev(arena), cam=cam,
+        lut=lut, width=width, height=height, use_culling=True,
+    )
+    img1, state = deferred_entry(state=None, **kw)
+    assert state["hiz"] is not None and len(state["hiz"]) >= 1
+    img2, state2 = deferred_entry(state=state, **kw)
+    np.testing.assert_allclose(
+        np.asarray(img2), np.asarray(img1), atol=1e-6
+    )
+    assert state2["hiz"] is not None
