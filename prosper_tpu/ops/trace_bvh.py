@@ -50,8 +50,19 @@ from .trace import CLUSTER_PAD, TILE, _pad_rays
 from .trace_pallas import _moller_block
 
 STACK_CAP = 64  # >= bvh depth + 2; median-split depth is ~log2(C) + 1
+DMA_DEPTH = 2  # leaf-slab ring slots (descent runs DMA_DEPTH-1 leaves
+# ahead of Moller). Depth 4 was measured SLOWER on the bounce set (43.5
+# vs 40.9 ms): DMA latency is not the wall, and deeper prefetch visits
+# extra leaves through stale per-ray bounds. Kept as a ring so the depth
+# is one constant.
 DEBUG_VISITS = False  # plain-closest writes per-tile leaf-visit counts
 # into output row 7 (perf diagnosis only; see scripts/bench_bounce.py)
+DEBUG_NO_MOLLER = False  # plain-closest: skip the Moller block (t=INF);
+DEBUG_NO_DMA = False  # plain-closest: skip slab DMAs (implies no Moller)
+DEBUG_FAKE_ENTER = False  # node_enter returns 0.0 (no vector slab test);
+# only valid on scenes where every node is entered anyway
+# — in-situ cost isolation on no-hit scenes where traversal is identical
+# across modes (scripts/bench_insitu.py); NEVER set in production
 ROWS_FULL = 40  # fused-attribute slab rows (ops/trace_pallas_full.py)
 ROWS_PLAIN = 9  # geometry-only slab rows (ops/trace_pallas.py)
 TILES_PER_STEP = 8  # ray tiles processed per grid step
@@ -119,13 +130,18 @@ def _row_min(t_block):
     return jnp.min(t_block.reshape(_NROWS, 128, 128), axis=-1)
 
 
-def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k):
+def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
+                  mask_ref=None):
     """Build the find_leaf closure over ray tile k's rows.
 
     find_leaf(sp, ub_row, worst) pops the stack until a leaf whose AABB
     some ray enters before its personal upper bound is found. Returns
     (sp, leaf_cluster(-1 when exhausted)). Children are tested per-ray at
     parent pop and pushed far-first with their min entry distance.
+
+    mask_ref (1, C) i32: per-cluster visibility (0 = culled); masked
+    leaves are skipped without a slab DMA — the two-phase meshlet cull's
+    draw-list analog riding the BVH kernel (draw_list_culler.comp).
     """
     oxr = row_ref[k, 0:_NROWS, :]
     oyr = row_ref[k, 2:2 + _NROWS, :]
@@ -137,6 +153,8 @@ def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k):
     def node_enter(i, ub_row):
         """Per-ray slab test of node i: min entry over passing rays
         (scalar; _INF when no ray passes)."""
+        if DEBUG_FAKE_ENTER:
+            return jnp.float32(0.0)
         b = 6 * i
         t0x = (bounds_ref[0, b + 0] - oxr) * ixr
         t1x = (bounds_ref[0, b + 3] - oxr) * ixr
@@ -170,6 +188,13 @@ def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k):
             def visit(sp):
                 leaf = meta_ref[0, 3 * i + 2]
                 is_leaf = leaf >= 0
+                emit = is_leaf
+                if mask_ref is not None:
+                    # culled leaf: neither emitted nor expanded — the pop
+                    # loop just keeps draining (no slab DMA, no Moller)
+                    emit = is_leaf & (
+                        mask_ref[0, jnp.maximum(leaf, 0)] != 0
+                    )
 
                 def push_children(sp):
                     left = meta_ref[0, 3 * i]
@@ -197,7 +222,7 @@ def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k):
                     return sp + (ne < _INF).astype(jnp.int32)
 
                 sp = jax.lax.cond(is_leaf, lambda s: s, push_children, sp)
-                return sp, jnp.where(is_leaf, leaf, found)
+                return sp, jnp.where(emit, leaf, found)
 
             return jax.lax.cond(stale, lambda s: (s, found), visit, sp)
 
@@ -363,27 +388,33 @@ def _make_descent8(nodes_ref, row_ref, kstack, cstack, cursors, k):
     return init_root, find_leaf
 
 
-def _closest_body(fused, wide=False):
+def _closest_body(fused, wide=False, masked=False):
     """Kernel body shared by the plain and fused closest-hit variants.
     Processes TILES_PER_STEP ray tiles per grid step. wide=True uses the
-    8-wide descent over a pack_nodes8 table instead of BVH2 SMEM scalars."""
+    8-wide descent over a pack_nodes8 table instead of BVH2 SMEM scalars.
+    masked=True takes a per-cluster visibility prefetch array (BVH2
+    only): culled leaves are skipped in-kernel."""
 
     def kernel(*args):
+        mask_ref = None
         if wide:
             (nodes_ref, cols_ref, row_ref, tris_hbm, *rest) = args
+        elif masked:
+            (bounds_ref, meta_ref, mask_ref, cols_ref, row_ref, tris_hbm,
+             *rest) = args
         else:
             (bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, *rest) = args
         if wide:
             if fused:
                 (out, tri_slab, attr_slab, kstack, cstack, cursors,
-                 attr_scr, sems) = rest
+                 attr_scr, pend, sems) = rest
             else:
-                (out, tri_slab, kstack, cstack, cursors, sems) = rest
+                (out, tri_slab, kstack, cstack, cursors, pend, sems) = rest
         elif fused:
             (out, tri_slab, attr_slab, stack_idx, stack_enter, attr_scr,
-             sems) = rest
+             pend, sems) = rest
         else:
-            (out, tri_slab, stack_idx, stack_enter, sems) = rest
+            (out, tri_slab, stack_idx, stack_enter, pend, sems) = rest
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
         t_min = 1e-4
@@ -414,7 +445,8 @@ def _closest_body(fused, wide=False):
                 sp0, c0 = find_leaf(fp0, best_row0, jnp.max(best_row0))
             else:
                 find_leaf = _make_descent(
-                    bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k
+                    bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
+                    mask_ref=mask_ref,
                 )
                 # push root
                 stack_idx[0, 0] = jnp.int32(0)
@@ -426,30 +458,76 @@ def _closest_body(fused, wide=False):
             def run_pipeline():
                 if fused:
                     attr_scr[...] = jnp.zeros((TILE, 12), jnp.float32)
+                # prime the slab ring: descend up to DMA_DEPTH-1 leaves
+                # ahead before the first Moller so every wait has ~3
+                # visits of issued-ahead DMA behind it
+                pend[0, 0] = c0
+
+                def pcond(c):
+                    n, sp = c
+                    return (n < DMA_DEPTH - 1) & (sp > 0)
+
+                def pbody(c):
+                    n, sp = c
+                    sp, nxt = find_leaf(sp, best_row0, jnp.max(best_row0))
+
+                    if not DEBUG_NO_DMA:
+                        @pl.when(nxt >= 0)
+                        def _():
+                            pend[0, n] = nxt
+                            get_dma(n, nxt).start()
+                    else:
+                        @pl.when(nxt >= 0)
+                        def _():
+                            pend[0, n] = nxt
+
+                    return n + (nxt >= 0).astype(jnp.int32), sp
+
+                n0, spp = jax.lax.while_loop(
+                    pcond, pbody, (jnp.int32(1), sp0)
+                )
 
                 def cond(state):
-                    return state[1] >= 0  # a leaf DMA is pending
+                    return state[0] < state[1]  # consumed < found
 
                 def body(state):
                     if fused:
-                        j_, cur, sp, best_t, best_row, best_tri = state
+                        j_, n, sp, best_t, best_row, best_tri = state
                     else:
-                        (j_, cur, sp, best_t, best_row, best_tri, best_u,
+                        (j_, n, sp, best_t, best_row, best_tri, best_u,
                          best_v) = state
-                    # descend to the next leaf while cur's slab is in flight
+                    # top up the ring: descend to one more leaf while the
+                    # head slab is in flight (entry invariant n-j_ <=
+                    # DMA_DEPTH-1 keeps the write slot disjoint from the
+                    # consuming + pending slots)
                     sp, nxt = find_leaf(sp, best_row, jnp.max(best_row))
 
-                    @pl.when(nxt >= 0)
-                    def _():
-                        get_dma(jax.lax.rem(j_ + 1, 2), nxt).start()
+                    if not DEBUG_NO_DMA:
+                        @pl.when(nxt >= 0)
+                        def _():
+                            pend[0, jax.lax.rem(n, DMA_DEPTH)] = nxt
+                            get_dma(jax.lax.rem(n, DMA_DEPTH), nxt).start()
+                    else:
+                        @pl.when(nxt >= 0)
+                        def _():
+                            pend[0, jax.lax.rem(n, DMA_DEPTH)] = nxt
 
-                    slot = jax.lax.rem(j_, 2)
-                    get_dma(slot, cur).wait()
+                    n = n + (nxt >= 0).astype(jnp.int32)
+                    slot = jax.lax.rem(j_, DMA_DEPTH)
+                    cur = pend[0, slot]
+                    if not DEBUG_NO_DMA:
+                        get_dma(slot, cur).wait()
                     slab = tri_slab[slot]
 
-                    hit, t, u, v = _moller_block(
-                        slab[0:9], ox, oy, oz, dx, dy, dz, t_min, best_t
-                    )
+                    if DEBUG_NO_MOLLER or DEBUG_NO_DMA:
+                        hit = jnp.zeros((TILE, 128), jnp.bool_)
+                        t = jnp.full((TILE, 128), _INF, jnp.float32)
+                        u = jnp.zeros((TILE, 128), jnp.float32)
+                        v = jnp.zeros((TILE, 128), jnp.float32)
+                    else:
+                        hit, t, u, v = _moller_block(
+                            slab[0:9], ox, oy, oz, dx, dy, dz, t_min, best_t
+                        )
                     tmin = jnp.min(t, axis=1, keepdims=True)
                     improved = tmin < best_t
                     is_best = t == tmin
@@ -463,7 +541,7 @@ def _closest_body(fused, wide=False):
                             acopy = pltpu.make_async_copy(
                                 tris_hbm.at[cur, ROWS_PLAIN:ROWS_FULL],
                                 attr_slab.at[0],
-                                sems.at[2],
+                                sems.at[DMA_DEPTH],
                             )
                             acopy.start()
                             sel = is_best & (lane == j)
@@ -522,16 +600,16 @@ def _closest_body(fused, wide=False):
                     best_t = jnp.where(improved, tmin, best_t)
                     best_row = jnp.minimum(best_row, _row_min(t))
                     if fused:
-                        return (j_ + 1, nxt, sp, best_t, best_row, best_tri)
+                        return (j_ + 1, n, sp, best_t, best_row, best_tri)
                     return (
-                        j_ + 1, nxt, sp, best_t, best_row, best_tri, best_u,
+                        j_ + 1, n, sp, best_t, best_row, best_tri, best_u,
                         best_v,
                     )
 
                 init_common = (
                     jnp.int32(0),
-                    c0,
-                    sp0,
+                    n0,
+                    spp,
                     colsT[:, 6:7],
                     best_row0,
                     jnp.full((TILE, 1), -1, jnp.int32),
@@ -619,8 +697,8 @@ def _closest_body(fused, wide=False):
 def _in_specs():
     K = TILES_PER_STEP
     return [
-        pl.BlockSpec((K, 8, TILE), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, 16, 128), lambda i, a, b: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 8, TILE), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 16, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
 
@@ -629,7 +707,7 @@ def _out_block(width=1):
     # channel-major (K, ch, TILE): lane-dense output rows
     return pl.BlockSpec(
         (TILES_PER_STEP, width, TILE),
-        lambda i, a, b: (i, 0, 0),
+        lambda i, *_: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -643,31 +721,38 @@ def trace_closest_bvh(
     ray_d: jnp.ndarray,
     t_min,
     t_max,
+    skip_mask=None,
 ):
     """BVH closest-hit; same contract as trace.trace_closest (t_min fixed
-    at 1e-4 in-kernel like the round-1 kernels)."""
+    at 1e-4 in-kernel like the round-1 kernels). skip_mask: see
+    trace_closest_bvh_full."""
     del t_min
+    masked = skip_mask is not None
     R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if masked else 2,
         grid=(n_steps,),
         in_specs=_in_specs(),
         out_specs=[_out_block(8)],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), jnp.float32),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
         ],
     )
     n_tiles = n_steps * TILES_PER_STEP
+    prefetch = [bounds.reshape(1, -1), meta.reshape(1, -1)]
+    if masked:
+        prefetch.append(skip_mask.astype(jnp.int32).reshape(1, -1))
     (out,) = pl.pallas_call(
-        _closest_body(fused=False),
+        _closest_body(fused=False, masked=masked),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 8, TILE), jnp.float32),
         ],
-    )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
+    )(*prefetch, cols, rowdata, tris_packed)
     out = out.transpose(0, 2, 1).reshape(R, 8)[:R_out]
     return {
         "t": out[:, 0],
@@ -688,6 +773,7 @@ def trace_closest_bvh_full(
     t_max,
     perm=None,
     packed: bool = False,
+    skip_mask=None,
 ):
     """BVH closest-hit + fused world-space attribute interpolation; same
     contract as ops/trace_pallas_full.trace_closest_full.
@@ -695,31 +781,39 @@ def trace_closest_bvh_full(
     perm: optional ray sort permutation fused into ray prep (results come
     back in SORTED order). packed=True returns the raw (R, 16) rows so a
     caller inverting a sort pays one gather instead of seven.
+    skip_mask (C,) bool/i32: per-cluster visibility — culled clusters'
+    leaves are skipped in-kernel (two-phase meshlet culling riding the
+    BVH kernel instead of the flat masked-AABB fallback).
     """
     del t_min
+    masked = skip_mask is not None
     R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if masked else 2,
         grid=(n_steps,),
         in_specs=_in_specs(),
         out_specs=[_out_block(16)],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), jnp.float32),
             pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), jnp.float32),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
             pltpu.VMEM((TILE, 12), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
         ],
     )
     n_tiles = n_steps * TILES_PER_STEP
+    prefetch = [bounds.reshape(1, -1), meta.reshape(1, -1)]
+    if masked:
+        prefetch.append(skip_mask.astype(jnp.int32).reshape(1, -1))
     (out,) = pl.pallas_call(
-        _closest_body(fused=True),
+        _closest_body(fused=True, masked=masked),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 16, TILE), jnp.float32),
         ],
-    )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
+    )(*prefetch, cols, rowdata, tris_packed)
     out = out.transpose(0, 2, 1).reshape(R, 16)[:R_out]
     if packed:
         return out
@@ -743,10 +837,10 @@ def _any_body(wide=False):
     def kernel(*args):
         if wide:
             (nodes_ref, cols_ref, row_ref, tris_hbm, occ_out, tri_slab,
-             kstack, cstack, cursors, sems) = args
+             kstack, cstack, cursors, pend, sems) = args
         else:
             (bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, occ_out,
-             tri_slab, stack_idx, stack_enter, sems) = args
+             tri_slab, stack_idx, stack_enter, pend, sems) = args
         t_min = 0.1  # shadow-ray tMin parity (main.rgen shadow())
 
         def get_dma(slot, c):
@@ -782,18 +876,43 @@ def _any_body(wide=False):
                 )
 
             def run_pipeline():
+                # prime the slab ring (see _closest_body)
+                pend[0, 0] = c0
+
+                def pcond(c):
+                    n, sp = c
+                    return (n < DMA_DEPTH - 1) & (sp > 0)
+
+                def pbody(c):
+                    n, sp = c
+                    sp, nxt = find_leaf(sp, tmax_row, jnp.max(tmax_row))
+
+                    @pl.when(nxt >= 0)
+                    def _():
+                        pend[0, n] = nxt
+                        get_dma(n, nxt).start()
+
+                    return n + (nxt >= 0).astype(jnp.int32), sp
+
+                n0, spp = jax.lax.while_loop(
+                    pcond, pbody, (jnp.int32(1), sp0)
+                )
+
                 def cond(state):
-                    return state[1] >= 0
+                    return state[0] < state[1]
 
                 def body(state):
-                    j_, cur, sp, occ, ub_row = state
+                    j_, n, sp, occ, ub_row = state
                     sp, nxt = find_leaf(sp, ub_row, jnp.max(ub_row))
 
                     @pl.when(nxt >= 0)
                     def _():
-                        get_dma(jax.lax.rem(j_ + 1, 2), nxt).start()
+                        pend[0, jax.lax.rem(n, DMA_DEPTH)] = nxt
+                        get_dma(jax.lax.rem(n, DMA_DEPTH), nxt).start()
 
-                    slot = jax.lax.rem(j_, 2)
+                    n = n + (nxt >= 0).astype(jnp.int32)
+                    slot = jax.lax.rem(j_, DMA_DEPTH)
+                    cur = pend[0, slot]
                     get_dma(slot, cur).wait()
                     hit, t, _, _ = _moller_block(
                         tri_slab[slot][0:9], ox, oy, oz, dx, dy, dz, t_min, tmax
@@ -808,12 +927,12 @@ def _any_body(wide=False):
                         hit.astype(jnp.float32).reshape(_NROWS, 128, 128), axis=-1
                     )
                     ub_row = jnp.where(hit_row > 0.0, 0.0, ub_row)
-                    return (j_ + 1, nxt, sp, occ, ub_row)
+                    return (j_ + 1, n, sp, occ, ub_row)
 
                 init = (
                     jnp.int32(0),
-                    c0,
-                    sp0,
+                    n0,
+                    spp,
                     jnp.zeros((TILE, 1), jnp.int32),
                     tmax_row,
                 )
@@ -858,10 +977,11 @@ def trace_any_bvh(
         in_specs=_in_specs(),
         out_specs=[_out_block()],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), jnp.float32),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
         ],
     )
     n_tiles = n_steps * TILES_PER_STEP
@@ -894,7 +1014,7 @@ def _in_specs8(n8):
 
 def _wide_grid(n_steps, n8, out_width, fused):
     scratch = [
-        pltpu.VMEM((2, ROWS_PLAIN, 128), jnp.float32),
+        pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), jnp.float32),
     ]
     if fused:
         scratch.append(pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), jnp.float32))
@@ -905,7 +1025,10 @@ def _wide_grid(n_steps, n8, out_width, fused):
     ]
     if fused:
         scratch.append(pltpu.VMEM((TILE, 12), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((3 if fused else 2,)))
+    scratch.append(pltpu.SMEM((1, DMA_DEPTH), jnp.int32))
+    scratch.append(
+        pltpu.SemaphoreType.DMA((DMA_DEPTH + 1 if fused else DMA_DEPTH,))
+    )
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_steps,),

@@ -171,9 +171,7 @@ def render_gbuffer(
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
         packed_full = pack_tris_full(static_scene, frame)
-        if bvh is not None and not use_culling:
-            # BVH descent for the plain G-buffer path; the culling path
-            # masks cluster AABBs per phase, which needs the flat kernel
+        if bvh is not None:
             from ..ops.trace_bvh import trace_closest_bvh_full
 
             def make_closest(mn, mx):
@@ -190,6 +188,23 @@ def render_gbuffer(
             from functools import partial
 
             return partial(trace.trace_closest, tris, mn, mx)
+
+    def make_culled(mask):
+        """Phase tracer for a cluster visibility mask: in-kernel leaf
+        skip on the BVH path, masked (inverted) AABBs on the others."""
+        if use_full and bvh is not None:
+            from functools import partial
+
+            from ..ops.trace_bvh import trace_closest_bvh_full
+
+            return partial(
+                trace_closest_bvh_full, packed_full, bvh[0], bvh[1],
+                skip_mask=mask,
+            )
+        mn, mx = _masked_aabbs(
+            frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], mask
+        )
+        return make_closest(mn, mx)
     inv16 = jnp.asarray(trace.block_inverse16(width, height))
     stats = {}
     hiz_mips = None
@@ -210,10 +225,7 @@ def render_gbuffer(
             height,
             output_second_phase=True,
         )
-        mn1, mx1 = _masked_aabbs(
-            frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], cull1["visible"]
-        )
-        hit = make_closest(mn1, mx1)(o, d, 1e-4, jnp.inf)
+        hit = make_culled(cull1["visible"])(o, d, 1e-4, jnp.inf)
 
         # fresh HiZ from phase-1 depth
         w2clip = cam["camera_to_clip"] @ cam["world_to_camera"]
@@ -234,10 +246,7 @@ def render_gbuffer(
             center, radius, cam, hiz_mips, width, height
         )
         phase2 = cull1["second_phase"] & ~still_occluded
-        mn2, mx2 = _masked_aabbs(
-            frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], phase2
-        )
-        hit2 = make_closest(mn2, mx2)(o, d, 1e-4, jnp.inf)
+        hit2 = make_culled(phase2)(o, d, 1e-4, jnp.inf)
         better = hit2["t"] < hit["t"]
         hit = {
             k: jnp.where(
@@ -285,7 +294,7 @@ def render_gbuffer(
     if alpha_rounds and "mat_i32" in arena:
         # alpha-mask discard (gbuffer.frag:61-63): failed-mask hits are
         # re-traced past the cut-out instead of shading opaque
-        if use_full and bvh is not None and not use_culling:
+        if use_full and bvh is not None:
             retrace_fn = make_closest(None, None)
         else:
             retrace_fn = make_closest(

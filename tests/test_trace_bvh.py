@@ -124,6 +124,48 @@ def test_bvh_any_matches_brute_force():
     np.testing.assert_array_equal(np.asarray(occ), want_tri >= 0)
 
 
+def test_bvh_full_skip_mask_culls_clusters():
+    """skip_mask: culled clusters' leaves are skipped in-kernel — hits
+    equal a brute force over only the visible clusters' triangles
+    (draw_list_culler.comp's draw-list analog on the BVH path)."""
+    tris, wc_min, wc_max = _random_scene(n_clusters=6, seed=9)
+    rng = np.random.default_rng(10)
+    R = trace.TILE * 2
+    o = rng.uniform(-8, 8, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    C = wc_min.shape[0]
+    mask = np.ones(C, bool)
+    mask[1] = False
+    mask[4] = False
+
+    packed = trace_pallas.pack_tris(tris)
+    bounds, meta = _nodes(wc_min, wc_max)
+    with interpret_mode():
+        got = trace_bvh.trace_closest_bvh(
+            packed, bounds, meta, jnp.asarray(o), jnp.asarray(d), 1e-4,
+            np.inf, skip_mask=jnp.asarray(mask),
+        )
+
+    # brute force over visible clusters only
+    pad = trace.CLUSTER_PAD
+    vis_tris = {
+        k: np.asarray(v).reshape(C, pad, 3)[mask].reshape(-1, 3)
+        for k, v in tris.items()
+    }
+    want_tri_vis, want_t = _brute_force(vis_tris, o, d, 1e-4, np.inf)
+    got_tri = np.asarray(got["tri"])
+    got_t = np.asarray(got["t"])
+    np.testing.assert_array_equal(got_tri < 0, want_tri_vis < 0)
+    sel = want_tri_vis >= 0
+    np.testing.assert_allclose(got_t[sel], want_t[sel], rtol=1e-5, atol=1e-6)
+
+    # masked clusters never win: map got tri ids back to clusters
+    hit_cluster = got_tri[got_tri >= 0] // pad
+    assert not np.isin(hit_cluster, np.where(~mask)[0]).any()
+
+
 def test_bvh_full_matches_plain_and_interpolates():
     """Fused-attribute BVH kernel: t/tri agree with the plain kernel and
     interpolated attributes match manual barycentric interpolation."""
