@@ -29,8 +29,10 @@ from ..ops.brdf import eval_brdf_times_nol
 
 def eval_all_lights(surface: dict, lights: dict) -> jnp.ndarray:
     """Directional + every point/spot light, unshadowed (forward.frag core).
-    The clustered variant culls lights per froxel; evaluation math is
-    identical (ops/clustering.py provides the culled index lists)."""
+    Reference implementation (O(pixels x lights)); the frame path uses the
+    clustered tile kernel (forward.frag itself is clustered), which is
+    equal because the radial falloff is zero beyond each light's radius
+    and froxel inclusion is conservative (tests/test_frame_graph.py)."""
     color = eval_directional_light(surface, lights)
 
     n_point = lights["point_position"].shape[0]
@@ -148,7 +150,38 @@ def render_forward(
         dbg = debug_color(DrawType(draw_type), surface, hit, static_scene)
         dbg = jnp.where(surface["valid"][..., None], dbg, 0.0)
         return jnp.clip(dbg.reshape(height, width, 3), 0.0, 1.0)
-    color = eval_all_lights(surface, frame["lights"])
+    # clustered direct lighting (forward.frag's clustered loop): the
+    # tile-major froxel kernel shared with deferred shading (TPU), the
+    # XLA froxel path elsewhere — same per-pixel observable light set
+    lights = frame["lights"]
+    color = eval_directional_light(surface, lights)
+    if int(lights["point_position"].shape[0]) or int(
+        lights["spot_position"].shape[0]
+    ):
+        w2c = cam["world_to_camera"]
+        z_cam = jnp.where(
+            surface["valid"],
+            surface["position_ws"] @ w2c[2, :3] + w2c[2, 3],
+            -jnp.inf,
+        )
+        if jax.default_backend() != "cpu":
+            from ..ops.shade_tiles import shade_clustered_tiles
+
+            color = color + shade_clustered_tiles(
+                surface, lights, cam, z_cam, surface["valid"], width, height
+            )
+        else:
+            from ..ops.clustering import (
+                build_light_clusters, eval_clustered_lights,
+            )
+
+            clusters = build_light_clusters(cam, lights, width, height)
+            px = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
+            py = jnp.repeat(jnp.arange(height, dtype=jnp.int32), width)
+            color = color + eval_clustered_lights(
+                surface, lights, clusters, px, py, z_cam,
+                cam["near"], cam["far"],
+            )
     color = jnp.where(surface["valid"][..., None], color, 0.0)
     hdr = color.reshape(height, width, 3)
     if use_transparent:
