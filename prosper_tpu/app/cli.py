@@ -102,6 +102,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     r.add_argument("--platform", default=None, help="force JAX platform (cpu/tpu)")
     r.add_argument(
+        "--devices", type=int, default=0, metavar="N",
+        help="shard the frame over an N-device jax.sharding.Mesh "
+        "(pt/restir/deferred; pixel bands + ICI collectives, "
+        "render/distributed.py). 0 = single device. With --platform cpu "
+        "an N-way virtual mesh is created for validation; keep frames "
+        "small there (XLA's CPU collectives time out if slow bands "
+        "arrive >40s apart)",
+    )
+    r.add_argument(
         "--watch",
         action="store_true",
         help="shader hot-reload analog (App::recompileShaders): after "
@@ -151,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.devices > 1:
+            # virtual CPU mesh for --devices without TPU hardware (same
+            # mechanism as tests/conftest.py); must precede backend init
+            jax.config.update("jax_num_cpu_devices", args.devices)
 
     import jax.numpy as jnp
 
@@ -202,7 +215,50 @@ def main(argv: list[str] | None = None) -> int:
 
     from ..render.frame import render_modes
 
-    render_fn = render_modes()[args.mode]
+    mesh = None
+    if args.devices and args.devices > 1:
+        import jax
+
+        from ..render.distributed import (
+            make_mesh,
+            replicate_to_mesh,
+            sharded_render_modes,
+        )
+
+        if len(jax.devices()) < args.devices:
+            print(
+                f"error: --devices {args.devices} but only "
+                f"{len(jax.devices())} JAX devices visible",
+                file=sys.stderr,
+            )
+            return 2
+        mesh = make_mesh(args.devices)
+        sharded = sharded_render_modes(mesh)
+        if args.mode not in sharded:
+            print(
+                f"error: --devices does not support mode {args.mode!r} "
+                f"(sharded modes: {sorted(sharded)})",
+                file=sys.stderr,
+            )
+            return 2
+        dropped = [
+            f for f, on in (
+                ("--taa", args.taa), ("--bloom", args.bloom),
+                ("--dof", args.dof), ("--particles", args.particles),
+                ("--culling", args.culling),
+            ) if on
+        ]
+        if dropped:
+            log_info(
+                "sharded mode ignores post/culling flags: %s",
+                " ".join(dropped),
+            )
+        # scene data is replicated once; per-frame uploads stay small
+        static = replicate_to_mesh(static, mesh)
+        arena_dev = replicate_to_mesh(arena_dev, mesh)
+        render_fn = sharded[args.mode]
+    else:
+        render_fn = render_modes()[args.mode]
 
     ibl_data = None
     env = None

@@ -63,6 +63,12 @@ DEBUG_FAKE_ENTER = False  # node_enter returns 0.0 (no vector slab test);
 # only valid on scenes where every node is entered anyway
 # — in-situ cost isolation on no-hit scenes where traversal is identical
 # across modes (scripts/bench_insitu.py); NEVER set in production
+ISECT_BLOCK = "moller"  # triangle test: "moller" (VPU) or "plucker"
+# (MXU matmuls over per-leaf feature rows, ops/trace_plucker.py) — the
+# Moller block is ~2.0 of the 2.59 us leaf visit (scripts/bench_insitu),
+# so the A/B is switchable per trace; see scripts/bench_insitu.py
+ISECT_PRECISION = None  # None = bf16 MXU passes; lax.Precision.HIGHEST
+# = f32-emulation (bf16x3); only read when ISECT_BLOCK == "plucker"
 ROWS_FULL = 40  # fused-attribute slab rows (ops/trace_pallas_full.py)
 ROWS_PLAIN = 9  # geometry-only slab rows (ops/trace_pallas.py)
 TILES_PER_STEP = 8  # ray tiles processed per grid step
@@ -524,6 +530,17 @@ def _closest_body(fused, wide=False, masked=False):
                         t = jnp.full((TILE, 128), _INF, jnp.float32)
                         u = jnp.zeros((TILE, 128), jnp.float32)
                         v = jnp.zeros((TILE, 128), jnp.float32)
+                    elif ISECT_BLOCK == "plucker":
+                        from .trace_plucker import (
+                            _plucker_block,
+                            plucker_rows_from_slab,
+                        )
+
+                        rows = plucker_rows_from_slab(slab[0:9])
+                        hit, t, u, v = _plucker_block(
+                            rows, ox, oy, oz, dx, dy, dz, t_min, best_t,
+                            precision=ISECT_PRECISION,
+                        )
                     else:
                         hit, t, u, v = _moller_block(
                             slab[0:9], ox, oy, oz, dx, dy, dz, t_min, best_t
@@ -684,7 +701,11 @@ def _closest_body(fused, wide=False, masked=False):
 
             @pl.when(c0 >= 0)
             def _():
-                get_dma(0, c0).start()
+                # NB must be skipped with DEBUG_NO_DMA: an outstanding
+                # (started, never-waited) DMA at kernel exit wedges the
+                # device
+                if not DEBUG_NO_DMA:
+                    get_dma(0, c0).start()
                 run_pipeline()
 
             return 0

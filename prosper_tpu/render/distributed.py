@@ -42,8 +42,15 @@ def pt_render_sharded(
     height: int,
     frame_index: int,
     max_bounces: int = 2,
+    use_dof: bool = False,
+    env: jnp.ndarray | None = None,
+    alpha_rounds: int = 0,
 ):
     """One 1-spp PT sample with pixels sharded over the mesh's "sp" axis.
+
+    env / alpha_rounds / use_dof ride through to pt_trace_pixels (env is
+    closed over, so XLA replicates the cubemap to every chip — it is
+    scene data like the geometry arenas).
 
     Returns ((H*W, 3) color gathered, total ray count psummed over chips).
     """
@@ -75,6 +82,9 @@ def pt_render_sharded(
             res_r,
             frame_index,
             max_bounces,
+            use_dof=use_dof,
+            env=env,
+            alpha_rounds=alpha_rounds,
         )
         total_rays = jax.lax.psum(n_rays, "sp")
         return color, total_rays
@@ -268,3 +278,61 @@ def replicate_to_mesh(tree, mesh: Mesh):
     """Place a pytree replicated on every device of the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_render_modes(mesh: Mesh):
+    """CLI-facing multi-chip mode table (the `--devices N` path): same
+    (img, state) entry protocol as render/frame.render_modes, with the
+    heavy per-pixel work sharded over the mesh. Post-chain flags
+    (TAA/bloom/DoF/particles/culling) are the single-chip entries'
+    domain; the CLI warns and drops them in sharded mode.
+    """
+    from .pt import pt_accumulate
+    from ..ops.tonemap import tone_map
+
+    def pt_mode(
+        *, static, frame, arena, cam, lut, width, height, exposure=1.0,
+        contrast=1.0, max_bounces=3, frame_index=0, state=None, env=None,
+        alpha_rounds=0, **_,
+    ):
+        color, _n_rays = pt_render_sharded(
+            mesh, static, frame, arena, cam, width, height, frame_index,
+            max_bounces, env=env, alpha_rounds=alpha_rounds,
+        )
+        sample = color.reshape(height, width, 3)
+        if state is None:
+            acc = sample
+            count = jnp.ones((height, width), jnp.float32)
+        else:
+            acc, count = pt_accumulate(state[0], state[1], sample)
+        img = tone_map(acc, lut, exposure, contrast)
+        return img, (acc, count)
+
+    def restir_mode(
+        *, static, frame, arena, cam, lut, width, height, exposure=1.0,
+        contrast=1.0, frame_index=0, state=None, **_,
+    ):
+        color = restir_render_sharded(
+            mesh, static, frame, arena, cam, width, height, frame_index
+        ).reshape(height, width, 3)
+        if state is None:
+            acc = color
+            count = jnp.ones((height, width), jnp.float32)
+        else:
+            prev, pcount = state
+            count = pcount + 1.0
+            acc = prev + (color - prev) / count[..., None]
+        img = tone_map(acc, lut, exposure, contrast)
+        return img, (acc, count)
+
+    def deferred_mode(
+        *, static, frame, arena, cam, lut, width, height, exposure=1.0,
+        contrast=1.0, state=None, ibl_data=None, **_,
+    ):
+        color = deferred_render_sharded(
+            mesh, static, frame, arena, cam, width, height, ibl_data
+        ).reshape(height, width, 3)
+        img = tone_map(color, lut, exposure, contrast)
+        return img, state
+
+    return {"pt": pt_mode, "restir": restir_mode, "deferred": deferred_mode}
