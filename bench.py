@@ -101,20 +101,35 @@ def main() -> int:
         float(color.mean())  # force (block_until_ready can return early
         # on this backend for pure-XLA tails)
 
-    # median per-frame throughput: the tunneled backend occasionally
-    # hiccups for hundreds of ms, which would poison a mean over a short
-    # run; the median is a robust estimate of steady-state frame rate
-    rates = []
+    # Steady-state throughput with two frames in flight, exactly like
+    # the CLI frame loop (MAX_FRAMES_IN_FLIGHT=2, src/utils/Utils.hpp:15):
+    # frame i+1 is dispatched before blocking on frame i, so host prep /
+    # dispatch latency overlaps device execution. Median inter-frame
+    # completion interval is robust to the tunneled backend's occasional
+    # hiccups.
+    frames = []
+    marks = [time.perf_counter()]
+    prev = None
     for i in range(BENCH_FRAMES):
-        t0 = time.perf_counter()
         color, n_rays = run(WARMUP_FRAMES + i)
-        float(color.mean())
-        dt = time.perf_counter() - t0
-        rates.append(int(n_rays) / dt)
+        frames.append(n_rays)
+        if prev is not None:
+            float(prev.mean())  # complete frame i-1 (i is in flight)
+            marks.append(time.perf_counter())
+        prev = color
+    float(prev.mean())
+    marks.append(time.perf_counter())
 
-    rates.sort()
-    mid = len(rates) // 2
-    mrays = (rates[mid - 1] + rates[mid]) / 2.0 / 1e6
+    ray_counts = [int(n) for n in frames]
+    intervals = sorted(
+        (marks[k + 1] - marks[k], ray_counts[k])
+        for k in range(len(ray_counts))
+    )
+    mid = len(intervals) // 2
+    mrays = (
+        intervals[mid - 1][1] / intervals[mid - 1][0]
+        + intervals[mid][1] / intervals[mid][0]
+    ) / 2.0 / 1e6
 
     # --- deferred + ReSTIR ms/frame at 1024 lights (BASELINE metrics
     # 2 and 3). Same scene, randomized point lights as bench_modes.py.

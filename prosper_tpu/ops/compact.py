@@ -54,10 +54,6 @@ def tile_apply(mask, fn, inputs, out_like=None, chunk_tiles: int = 512):
     tcount = jnp.sum(tile_any.astype(jnp.int32))
     n_chunks = (tcount + ct - 1) // ct
 
-    def tgather(a, slc):
-        at = a.reshape((n_tiles, TILE) + a.shape[1:])
-        return at[slc].reshape((ct * TILE,) + a.shape[1:])
-
     if out_like is None:
         chunk_in = jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct((ct * TILE,) + a.shape[1:], a.dtype),
@@ -66,36 +62,49 @@ def tile_apply(mask, fn, inputs, out_like=None, chunk_tiles: int = 512):
         lane_in = jax.ShapeDtypeStruct((ct * TILE,), jnp.bool_)
         out_like = jax.eval_shape(fn, chunk_in, lane_in)
 
+    # Loop-INVARIANT tiled views hoisted out of the body, and outputs
+    # CARRIED in flat tile-row shape (n_tiles, 256*k): reshapes at a
+    # fori_loop carry boundary materialize as full relayout copies every
+    # iteration (measured 6.3 ms per vec3 field per chunk at 1080p in
+    # the deferred frame's xplane), while the same reshape outside the
+    # loop fuses for free.
+    def _k(shape):
+        k = 1
+        for s in shape[1:]:
+            k *= s
+        return k
+
+    inputs_t = jax.tree_util.tree_map(
+        lambda a: a.reshape(n_tiles, TILE * _k(a.shape)), inputs
+    )
+    mask_t = mask.reshape(n_tiles, TILE)
+
     outs = jax.tree_util.tree_map(
-        lambda s: jnp.zeros((R,) + tuple(s.shape[1:]), s.dtype), out_like
+        lambda s: jnp.zeros((n_tiles, TILE * _k(s.shape)), s.dtype), out_like
     )
 
     def chunk_body(ci, outs):
         sl = jax.lax.dynamic_slice(tidx, (ci * ct,), (ct,))
         tile_ok = sl < n_tiles
         slc = jnp.minimum(sl, n_tiles - 1)
-        lane_ok = jnp.repeat(tile_ok, TILE) & tgather(mask, slc)
+        lane_ok = jnp.repeat(tile_ok, TILE) & mask_t[slc].reshape(ct * TILE)
 
-        c_in = jax.tree_util.tree_map(lambda a: tgather(a, slc), inputs)
+        c_in = jax.tree_util.tree_map(
+            lambda at, a: at[slc].reshape((ct * TILE,) + a.shape[1:]),
+            inputs_t,
+            inputs,
+        )
         c_out = fn(c_in, lane_ok)
 
         def scat(o, c):
             c = jnp.where(
                 lane_ok.reshape((ct * TILE,) + (1,) * (c.ndim - 1)), c, 0
             ).astype(o.dtype)
-            # flat tile rows: XLA scatters (T, 256*k) rows ~2x faster
-            # than (T, 256, k) blocks, and the standalone op resists
-            # being fused into a slow elementwise loop
-            k = 1
-            for s in o.shape[1:]:
-                k *= s
-            return (
-                o.reshape(n_tiles, TILE * k)
-                .at[slc]
-                .add(c.reshape(ct, TILE * k))
-                .reshape(o.shape)
-            )
+            return o.at[slc].add(c.reshape(ct, o.shape[1]))
 
         return jax.tree_util.tree_map(scat, outs, c_out)
 
-    return jax.lax.fori_loop(0, n_chunks, chunk_body, outs)
+    outs = jax.lax.fori_loop(0, n_chunks, chunk_body, outs)
+    return jax.tree_util.tree_map(
+        lambda o, s: o.reshape((R,) + tuple(s.shape[1:])), outs, out_like
+    )

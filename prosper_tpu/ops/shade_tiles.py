@@ -74,6 +74,34 @@ def from_tiles(tiles: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     return img[:height, :width].reshape(height * width, C)
 
 
+def to_tiles_from_blocks(flat: jnp.ndarray, width: int) -> jnp.ndarray:
+    """(R_pad, C) in block16 order (trace.block_order_padded) ->
+    (T, C, 8, 128) froxel tiles. A 32 px froxel tile is exactly a 2x2
+    group of 16 px trace blocks, so this is a REGULAR transpose — the
+    whole reason the deferred path keeps the frame in block order.
+    Requires width % 32 == 0; the padded height is a 32-multiple by
+    construction."""
+    C = flat.shape[-1]
+    hp = flat.shape[0] // width
+    by, bx = hp // 16, width // 16
+    a = flat.reshape(by // 2, 2, bx // 2, 2, 16, 16, C)
+    # (ty, sub_by, tx, sub_bx, iy, ix, C) -> (ty, tx, C, sub_by, iy,
+    # sub_bx, ix); flattening the last four gives row-major 32x32 pixels
+    a = jnp.transpose(a, (0, 2, 6, 1, 4, 3, 5))
+    return a.reshape((by // 2) * (bx // 2), C, _PXROWS, 128)
+
+
+def from_tiles_to_blocks(tiles: jnp.ndarray, width: int) -> jnp.ndarray:
+    """(T, C, 8, 128) froxel tiles -> (R_pad, C) block16 order (inverse
+    of to_tiles_from_blocks)."""
+    C = tiles.shape[1]
+    tx = width // 32
+    ty = tiles.shape[0] // tx
+    a = tiles.reshape(ty, tx, C, 2, 16, 2, 16)
+    a = jnp.transpose(a, (0, 3, 1, 5, 4, 6, 2))
+    return a.reshape(ty * 2 * tx * 2 * 256, C)
+
+
 def build_tile_light_lists(cam: dict, lights: dict, width: int, height: int,
                            y_offset=0, full_height: int | None = None):
     """Per-tile point light lists from the froxel side-plane tests
@@ -312,7 +340,10 @@ def _shade_kernel(
     out_ref[0, 3] = zero
 
 
-@partial(jax.jit, static_argnames=("width", "height", "full_height"))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "full_height", "pixel_order"),
+)
 def shade_clustered_tiles(
     surface: dict,
     lights: dict,
@@ -323,6 +354,7 @@ def shade_clustered_tiles(
     height: int,
     y_offset=0,
     full_height: int | None = None,
+    pixel_order: str = "row",
 ) -> jnp.ndarray:
     """Clustered point+spot shading -> (R, 3) linear color (TPU path).
 
@@ -330,28 +362,34 @@ def shade_clustered_tiles(
     the deferred frame; same observable light set per pixel.
     y_offset/full_height: shade a band of a taller frame (y_offset must
     be a multiple of the 32 px froxel tile).
+    pixel_order="block16": inputs (and the returned color) are in
+    trace.block_order_padded order with R = width * padded_height —
+    tile assembly is then a regular transpose instead of the row-major
+    gather round-trip.
     """
     lists, counts, lvz = build_tile_light_lists(
         cam, lights, width, height, y_offset=y_offset, full_height=full_height
     )
     rows = lights["packed_rows"]
-    chan = to_tiles(
-        jnp.concatenate(
-            [
-                surface["position_ws"],
-                surface["normal_ws"],
-                surface["albedo"],
-                surface["roughness"][..., None],
-                surface["metallic"][..., None],
-                z_cam[..., None],
-                valid.astype(jnp.float32)[..., None],
-                jnp.zeros((z_cam.shape[0], 3), jnp.float32),
-            ],
-            axis=-1,
-        ),
-        width,
-        height,
+    packed = jnp.concatenate(
+        [
+            surface["position_ws"],
+            surface["normal_ws"],
+            surface["albedo"],
+            surface["roughness"][..., None],
+            surface["metallic"][..., None],
+            z_cam[..., None],
+            valid.astype(jnp.float32)[..., None],
+            jnp.zeros((z_cam.shape[0], 3), jnp.float32),
+        ],
+        axis=-1,
     )
+    blocked = pixel_order == "block16"
+    if blocked:
+        assert width % 32 == 0 and y_offset == 0
+        chan = to_tiles_from_blocks(packed, width)
+    else:
+        chan = to_tiles(packed, width, height)
     T = chan.shape[0]
     lcap = lists.shape[1]
     ints = jnp.array(
@@ -401,4 +439,6 @@ def shade_clustered_tiles(
         lists[:, None, :],
         chan,
     )
+    if blocked:
+        return from_tiles_to_blocks(out, width)[:, :3]
     return from_tiles(out, width, height)[:, :3]

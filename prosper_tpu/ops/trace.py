@@ -102,6 +102,70 @@ def block_pixel_order(width: int, height: int, block: int = 16):
     return px, py, inverse
 
 
+def block_order_padded(width: int, height: int, block: int = 16):
+    """Like block_pixel_order but over the FULL padded block grid (height
+    rounded up to a 2*block multiple so 16 px blocks tile the 32 px
+    froxel tiles evenly): the resulting permutation block-order <->
+    row-major is REGULAR, so the unsort is a reshape/transpose instead of
+    a 2M-row gather (measured 24 ms/frame at 1080p x 16 channels).
+
+    Returns (px, py, padded_height); rays with py >= height are padding
+    (callers mark them invalid). width must be a multiple of `block`.
+    """
+    import numpy as np
+
+    assert width % block == 0, width
+    hp = -(-height // (2 * block)) * (2 * block)
+    by, bx = hp // block, width // block
+    yy, xx = np.meshgrid(
+        np.arange(block, dtype=np.uint32),
+        np.arange(block, dtype=np.uint32),
+        indexing="ij",
+    )
+    px = (
+        np.arange(bx, dtype=np.uint32)[None, :, None, None] * block
+        + xx[None, None]
+    )
+    py = (
+        np.arange(by, dtype=np.uint32)[:, None, None, None] * block
+        + yy[None, None]
+    )
+    px = np.broadcast_to(px, (by, bx, block, block)).reshape(-1)
+    py = np.broadcast_to(py, (by, bx, block, block)).reshape(-1)
+    return px.copy(), py.copy(), hp
+
+
+def blocks_to_rows(a, width: int, height: int, block: int = 16):
+    """(R_pad, ...) in block_order_padded order -> (height*width, ...)
+    row-major, via a regular reshape/transpose (no gather)."""
+    hp = a.shape[0] // width
+    by, bx = hp // block, width // block
+    rest = a.shape[1:]
+    img = a.reshape((by, bx, block, block) + rest)
+    img = jnp.transpose(
+        img, (0, 2, 1, 3) + tuple(range(4, 4 + len(rest)))
+    ).reshape((hp, width) + rest)
+    return img[:height].reshape((height * width,) + rest)
+
+
+def rows_to_blocks(a, width: int, height: int, block: int = 16):
+    """(height*width, ...) row-major -> (R_pad, ...) block order (pads
+    extra rows with zeros)."""
+    hp = -(-height // (2 * block)) * (2 * block)
+    rest = a.shape[1:]
+    img = a.reshape((height, width) + rest)
+    if hp != height:
+        img = jnp.concatenate(
+            [img, jnp.zeros((hp - height, width) + rest, a.dtype)], axis=0
+        )
+    by, bx = hp // block, width // block
+    img = img.reshape((by, block, bx, block) + rest)
+    img = jnp.transpose(
+        img, (0, 2, 1, 3) + tuple(range(4, 4 + len(rest)))
+    )
+    return img.reshape((hp * width,) + rest)
+
+
 def block_inverse16(width: int, height: int, block: int = 16):
     """Segment-level inverse of block_pixel_order: row-major 16-pixel
     segment s is block-order segment inv16[s]. Valid because every 16

@@ -29,17 +29,22 @@ def shade_deferred(
     ibl_data: dict | None = None,
     y_offset=0,
     full_height: int | None = None,
+    pixel_order: str = "row",
 ):
     """Clustered deferred shading over the flat G-buffer.
 
     y_offset/full_height shade a horizontal band of a taller frame
     (multi-chip pixel sharding): `height` rows starting at absolute row
-    y_offset; froxel coordinates stay absolute."""
-    R = width * height
-    px = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
-    py = (
-        jnp.repeat(jnp.arange(height, dtype=jnp.int32), width) + y_offset
-    )
+    y_offset; froxel coordinates stay absolute.
+    pixel_order="block16": the G-buffer (and the returned color) are in
+    trace.block_order_padded order (TPU fast path — no row-major
+    round-trip)."""
+    blocked = pixel_order == "block16"
+    if not blocked:
+        px = jnp.tile(jnp.arange(width, dtype=jnp.int32), height)
+        py = (
+            jnp.repeat(jnp.arange(height, dtype=jnp.int32), width) + y_offset
+        )
 
     # decode G-buffer exactly like loadFromGbuffer (visible_surface.glsl)
     albedo = gbuf["albedo_roughness"][..., :3]
@@ -72,6 +77,7 @@ def shade_deferred(
         color = color + shade_clustered_tiles(
             surface, lights, cam, gbuf["z_cam"], gbuf["valid"], width, height,
             y_offset=y_offset, full_height=full_height,
+            pixel_order=pixel_order,
         )
     else:
         color = color + eval_clustered_lights(
@@ -131,11 +137,22 @@ def render_deferred(
     """
     from .gbuffer import render_gbuffer
 
+    # TPU fast path: trace/surface-eval/shade stay in 16px-block order
+    # (the trace's native order) and convert to row-major ONCE, as a
+    # regular transpose — the per-field row-major permutes were ~30% of
+    # the deferred frame. Culling keeps row order (HiZ needs images).
+    blocked = (
+        jax.default_backend() != "cpu"
+        and not use_culling
+        and width % 32 == 0
+    )
+    order = "block16" if blocked else "row"
     gbuf = render_gbuffer(
         static_scene, frame, arena, cam, width, height,
         use_culling=use_culling, prev_hiz=prev_hiz,
         lod_bias=-1.0 if use_taa else 0.0,
         alpha_rounds=alpha_rounds,
+        pixel_order=order,
     )
     clusters = (
         None
@@ -143,31 +160,59 @@ def render_deferred(
         else build_light_clusters(cam, frame["lights"], width, height)
     )
     color = shade_deferred(
-        gbuf, clusters, frame["lights"], cam, width, height, ibl_data
+        gbuf, clusters, frame["lights"], cam, width, height, ibl_data,
+        pixel_order=order,
     )
-    hdr = color.reshape(height, width, 3)
     if ibl_data is not None and "env" in ibl_data:
         # skybox background (SkyboxRenderer analog): sample the env along
-        # the view ray for miss pixels
+        # the view ray for miss pixels — composed in trace order so one
+        # conversion below covers it
         from ..ops.ibl import sample_cubemap
         from ..ops.rays import pinhole_rays
 
-        ys, xs = jnp.meshgrid(
-            (jnp.arange(height, dtype=jnp.float32) + 0.5) / height,
-            (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
-            indexing="ij",
-        )
-        _, vd = pinhole_rays(cam, jnp.stack([xs, ys], -1))
-        sky = sample_cubemap(ibl_data["env"], vd)
-        valid = gbuf["valid"].reshape(height, width, 1)
-        hdr = jnp.where(valid, hdr, sky)
+        if blocked:
+            from ..ops import trace as _trace
+
+            px_np, py_np, _hp = _trace.block_order_padded(width, height)
+            uv = jnp.stack(
+                [
+                    (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
+                    (jnp.asarray(py_np).astype(jnp.float32) + 0.5) / height,
+                ],
+                axis=-1,
+            )
+            _, vd = pinhole_rays(cam, uv)
+            sky = sample_cubemap(ibl_data["env"], vd)
+            color = jnp.where(gbuf["valid"][..., None], color, sky)
+        else:
+            ys, xs = jnp.meshgrid(
+                (jnp.arange(height, dtype=jnp.float32) + 0.5) / height,
+                (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
+                indexing="ij",
+            )
+            _, vd = pinhole_rays(
+                cam, jnp.stack([xs, ys], -1).reshape(height * width, 2)
+            )
+            sky = sample_cubemap(ibl_data["env"], vd)
+            color = jnp.where(gbuf["valid"][..., None], color, sky)
+
+    if blocked:
+        from ..ops import trace as _trace
+
+        def _b2r(a):
+            return _trace.blocks_to_rows(a, width, height)
+    else:
+        def _b2r(a):
+            return a
+
+    hdr = _b2r(color).reshape(height, width, 3)
 
     if use_transparent:
         # ForwardRenderer::recordTransparent slot (Renderer.cpp:494-500)
         from .transparent import transparent_pass
 
         hdr = transparent_pass(
-            static_scene, frame, arena, cam, hdr, gbuf["z_cam"],
+            static_scene, frame, arena, cam, hdr, _b2r(gbuf["z_cam"]),
             width, height, ibl_data,
         )
 
@@ -189,7 +234,7 @@ def render_deferred(
         from ..ops.particles import render_particles, simulate
 
         st = simulate(particle_state, 1.0 / 60.0, 0)
-        depth_img = gbuf["depth"].reshape(height, width)
+        depth_img = _b2r(gbuf["depth"]).reshape(height, width)
         hdr = render_particles(st, hdr, depth_img, cam)
         new_particles = st
 
@@ -197,8 +242,8 @@ def render_deferred(
     if use_taa:
         from ..ops.taa import taa_resolve
 
-        velocity = gbuf["velocity"].reshape(height, width, 2)
-        depth = gbuf["depth"].reshape(height, width)
+        velocity = _b2r(gbuf["velocity"]).reshape(height, width, 2)
+        depth = _b2r(gbuf["depth"]).reshape(height, width)
         prev = hdr if taa_history is None else taa_history
         hdr = taa_resolve(hdr, prev, velocity, depth)
         new_history = hdr
@@ -206,14 +251,16 @@ def render_deferred(
     if use_dof:
         from ..ops.dof import depth_of_field
 
-        view_depth = jnp.maximum(-gbuf["z_cam"].reshape(height, width), 1e-3)
+        view_depth = jnp.maximum(
+            -_b2r(gbuf["z_cam"]).reshape(height, width), 1e-3
+        )
         hdr = depth_of_field(hdr, view_depth, cam)
 
     img = tone_map(hdr, lut, exposure, contrast)
     aux = {
         "taa_history": new_history,
         "particles": new_particles,
-        "depth": gbuf["depth"].reshape(height, width),
+        "depth": _b2r(gbuf["depth"]).reshape(height, width),
         # preserve()d depth pyramid: next frame's phase-1 occlusion cull
         # tests against it (ForwardRenderer.hpp:142)
         "hiz": gbuf["hiz"],

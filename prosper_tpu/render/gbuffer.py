@@ -130,8 +130,17 @@ def render_gbuffer(
     y_offset=0,
     full_height: int | None = None,
     alpha_rounds: int = 0,
+    pixel_order: str = "row",
 ):
     """Trace primary rays and produce the G-buffer pytree (flat R = W*H).
+
+    pixel_order="block16" keeps every output in the TRACE order (16x16
+    blocks over a height-padded grid, trace.block_order_padded) instead
+    of permuting to row-major: the 16-channel hit unsort was 24 ms/frame
+    at 1080p, while per-lane work is order-independent. Outputs then have
+    R = width * padded_height rows; pad rows are valid=False. Callers
+    convert what they need with trace.blocks_to_rows (regular transpose).
+    Requires width % 16 == 0 and no culling/band offset.
 
     y_offset/full_height render a horizontal BAND of a taller frame
     (multi-chip pixel sharding, render/distributed.py): `height` rows
@@ -147,7 +156,12 @@ def render_gbuffer(
     The fresh HiZ is returned in the G-buffer for preservation.
     """
     full_h = height if full_height is None else full_height
-    px_np, py_np, _inv_np = trace.block_pixel_order(width, height)
+    blocked = pixel_order == "block16"
+    if blocked:
+        assert width % 16 == 0 and not use_culling and y_offset == 0
+        px_np, py_np, _hp = trace.block_order_padded(width, height)
+    else:
+        px_np, py_np, _inv_np = trace.block_pixel_order(width, height)
     uv = jnp.stack(
         [
             (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
@@ -205,7 +219,9 @@ def render_gbuffer(
             frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], mask
         )
         return make_closest(mn, mx)
-    inv16 = jnp.asarray(trace.block_inverse16(width, height))
+    inv16 = (
+        None if blocked else jnp.asarray(trace.block_inverse16(width, height))
+    )
     stats = {}
     hiz_mips = None
     if use_culling:
@@ -262,35 +278,42 @@ def render_gbuffer(
         }
     else:
         if use_full and bvh is not None:
-            # packed hit rows: ONE (R, 16) inverse-permutation gather to
-            # row-major instead of seven per-field gathers
             from ..ops.trace_bvh import unpack_hit16
 
             h16 = make_closest(None, None)(o, d, 1e-4, jnp.inf, packed=True)
-            hit = unpack_hit16(trace.permute16(h16, inv16))
+            if blocked:
+                # stay in trace order: the 16-channel row-major permute
+                # was the deferred frame's single most expensive op
+                hit = unpack_hit16(h16)
+            else:
+                # packed hit rows: ONE (R, 16) inverse-permutation gather
+                # to row-major instead of seven per-field gathers
+                hit = unpack_hit16(trace.permute16(h16, inv16))
         else:
             hit = make_closest(
                 frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
             )(o, d, 1e-4, jnp.inf)
-            hit = {k: trace.permute16(v, inv16) for k, v in hit.items()}
+            if not blocked:
+                hit = {k: trace.permute16(v, inv16) for k, v in hit.items()}
     if use_culling:
         hit = {k: trace.permute16(v, inv16) for k, v in hit.items()}
-    # rays in row-major order: recomputed elementwise (cheaper than two
-    # 2M-row permutation gathers of the block-order rays)
-    uv_rm = jnp.stack(
-        [
-            (jnp.tile(jnp.arange(width, dtype=jnp.float32), height) + 0.5)
-            / width,
-            (
-                jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
-                + y_offset
-                + 0.5
-            )
-            / full_h,
-        ],
-        axis=-1,
-    )
-    o, d = pinhole_rays(cam, uv_rm + jit * jnp.array([0.5, -0.5]))
+    if not blocked:
+        # rays in row-major order: recomputed elementwise (cheaper than
+        # two 2M-row permutation gathers of the block-order rays)
+        uv_rm = jnp.stack(
+            [
+                (jnp.tile(jnp.arange(width, dtype=jnp.float32), height) + 0.5)
+                / width,
+                (
+                    jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+                    + y_offset
+                    + 0.5
+                )
+                / full_h,
+            ],
+            axis=-1,
+        )
+        o, d = pinhole_rays(cam, uv_rm + jit * jnp.array([0.5, -0.5]))
     if alpha_rounds and "mat_i32" in arena:
         # alpha-mask discard (gbuffer.frag:61-63): failed-mask hits are
         # re-traced past the cut-out instead of shading opaque
@@ -315,6 +338,9 @@ def render_gbuffer(
     from ..ops.compact import tile_apply
 
     valid = hit["tri"] >= 0
+    if blocked:
+        # rays in the pad rows (py >= height) never shade
+        valid = valid & (jnp.asarray(py_np) < jnp.uint32(height))
     pad = (-o.shape[0]) % 256
 
     def _pad(a):
@@ -394,4 +420,6 @@ def render_gbuffer(
         "hiz": hiz_mips,
         "draw_stats": stats,
     }
+    # (block16 mode: caller requested the order, so it knows the layout;
+    # a string in the pytree would break jit returns)
     return gbuf

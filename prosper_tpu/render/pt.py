@@ -469,9 +469,25 @@ def pt_trace_pixels(
     tcount = jnp.sum(tile_any.astype(jnp.int32))
     n_chunks = (tcount + CT - 1) // CT
 
-    def tgather(a, slc):
-        at = a.reshape((n_tiles, TILE) + a.shape[1:])
-        return at[slc].reshape((CT * TILE,) + a.shape[1:])
+    # Loop-invariant tiled views hoisted OUT of the chunk body, and the
+    # color accumulator carried in tile-row shape: reshapes at a fori_loop
+    # carry boundary materialize as full relayout copies EVERY iteration
+    # (the 3.2 ms slice/copy ops that dominated the PT xplane's glue),
+    # while the same reshapes outside the loop fuse for free.
+    def _tile_view(a):
+        k = 1
+        for s in a.shape[1:]:
+            k *= s
+        return a.reshape(n_tiles, TILE * k)
+
+    state_t = _tile_view(state)
+    o_t = _tile_view(ray_o)
+    d_t = _tile_view(ray_d)
+    hit0_t = {k: _tile_view(v) for k, v in hit0.items()}
+    lane_real_t = _tile_view(lane_real)
+
+    def tgather_t(at, like, slc):
+        return at[slc].reshape((CT * TILE,) + like.shape[1:])
 
     def chunk_body(ci, carry):
         color_full, n_rays = carry
@@ -480,11 +496,15 @@ def pt_trace_pixels(
         slc = jnp.minimum(sl, n_tiles - 1)
         lane_ok = jnp.repeat(tile_ok, TILE)
 
-        c_state = tgather(state, slc)
-        c_o = tgather(ray_o, slc)
-        c_d = tgather(ray_d, slc)
-        c_hit = {k: tgather(v, slc) for k, v in hit0.items()}
-        c_active = (c_hit["tri"] >= 0) & lane_ok & tgather(lane_real, slc)
+        c_state = tgather_t(state_t, state, slc)
+        c_o = tgather_t(o_t, ray_o, slc)
+        c_d = tgather_t(d_t, ray_d, slc)
+        c_hit = {k: tgather_t(hit0_t[k], v, slc) for k, v in hit0.items()}
+        c_active = (
+            (c_hit["tri"] >= 0)
+            & lane_ok
+            & tgather_t(lane_real_t, lane_real, slc)
+        )
         c_color = jnp.zeros((CT * TILE, 3), jnp.float32)
         c_thr = jnp.ones((CT * TILE, 3), jnp.float32)
         n_extra = jnp.int32(0)
@@ -539,18 +559,13 @@ def pt_trace_pixels(
         c_color, n_extra = bc[1], bc[7]
 
         c_color = jnp.where(lane_ok[..., None], c_color, 0.0)
-        color_full = (
-            color_full.reshape(n_tiles, TILE, 3)
-            .at[slc]
-            .add(c_color.reshape(CT, TILE, 3))
-            .reshape(R, 3)
-        )
+        color_full = color_full.at[slc].add(c_color.reshape(CT, TILE * 3))
         return color_full, n_rays + n_extra
 
     color_full, n_rays = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, (color_full, n_rays)
+        0, n_chunks, chunk_body, (color_full.reshape(n_tiles, TILE * 3), n_rays)
     )
-    return color_full[:R0], n_rays
+    return color_full.reshape(R, 3)[:R0], n_rays
 
 
 @partial(

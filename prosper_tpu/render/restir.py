@@ -292,12 +292,23 @@ def render_restir(
     contrast: float = 1.0,
     alpha_rounds: int = 0,
 ):
-    """Full ReSTIR DI frame: G-buffer -> reservoirs -> spatial -> trace."""
+    """Full ReSTIR DI frame: G-buffer -> reservoirs -> spatial -> trace.
+
+    On TPU the per-pixel stages run in the trace's block16 order (no
+    row-major permutes; per-pixel RNG streams are keyed by absolute
+    pixel coordinates so the results are order-invariant); only the
+    spatial pass's neighbor image — which is READ at absolute row-major
+    coordinates — and the final color are converted, one regular
+    transpose each."""
+    import jax
+
     from .gbuffer import render_gbuffer
 
+    blocked = jax.default_backend() != "cpu" and width % 32 == 0
     gbuf = render_gbuffer(
         static_scene, frame, arena, cam, width, height,
         alpha_rounds=alpha_rounds,
+        pixel_order="block16" if blocked else "row",
     )
     surface = dict(gbuf["surface"])
     # linear depth from the non-linear buffer like the comp shaders
@@ -307,8 +318,13 @@ def render_restir(
     gbuf2 = dict(gbuf)
     gbuf2["linear_depth"] = lin
 
-    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
+    if blocked:
+        px_np, py_np, _hp = trace.block_order_padded(width, height)
+        px = jnp.asarray(px_np)
+        py = jnp.asarray(py_np)
+    else:
+        px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
+        py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
     lights = frame["lights"]
     tris = trace.world_triangles(static_scene, frame)
 
@@ -346,6 +362,11 @@ def render_restir(
     ucw0 = r0["ucw"][: px.shape[0]]
 
     neigh_rows = pack_neighbor_rows(gbuf2, li0, ucw0)
+    if blocked:
+        # the spatial pass reads neighbors at absolute row-major
+        # coordinates: ONE 8-channel regular transpose (vs the 16-channel
+        # gather the row-major G-buffer path used to pay)
+        neigh_rows = trace.blocks_to_rows(neigh_rows, width, height)
 
     def _spatial_shade(c_in, lane_ok):
         c_surface, c_px, c_py = c_in
@@ -359,6 +380,8 @@ def render_restir(
         return color
 
     color = tile_apply(valid_p, _spatial_shade, in_p)[: px.shape[0]]
+    if blocked:
+        color = trace.blocks_to_rows(color, width, height)
     img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
     return img, color
 
