@@ -2,8 +2,9 @@
 
 The TPU analog of Vulkan's sampler2D reads in materials.glsl
 (/root/reference/res/shader/scene/materials.glsl:46-121): sRGB decode
-happens per texel BEFORE filtering (matching VK_FORMAT_*_SRGB views),
-wrap mode is REPEAT (the glTF default used by the bundled scenes).
+happens per texel BEFORE filtering (matching VK_FORMAT_*_SRGB views);
+glTF sampler wrap modes (REPEAT / CLAMP_TO_EDGE / MIRRORED_REPEAT) ride
+per texture in the table flags (bits 1-4, scene/textures.py).
 
 Arena layout (scene/textures.py): each mip is stored as (H*W, 4) u32
 bilinear quads — texel (x,y) plus its +x/+y/+xy REPEAT neighbors — so a
@@ -38,22 +39,38 @@ def _decode4(quads, srgb_mask, assume_linear=False):
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
 
+def _wrap_coord(s, n, mode):
+    """Continuous texel coordinate under a glTF wrap mode.
+
+    s: normalized coord, n: (int) dimension, mode: 0 REPEAT /
+    1 CLAMP_TO_EDGE / 2 MIRRORED_REPEAT (flags bits, scene/textures.py).
+    Returns (texel_index, frac). CLAMP and MIRROR clip the continuous
+    coordinate to [0, n-1], so the quad arena's baked REPEAT neighbors
+    get zero bilinear weight at the edges — no separate edge quads."""
+    nf = n.astype(jnp.float32)
+    c = s * nf - 0.5
+    clamped = jnp.clip(c, 0.0, nf - 1.0)
+    m = jnp.mod(c + 0.5, 2.0 * nf)
+    mirrored = jnp.clip(nf - jnp.abs(m - nf) - 0.5, 0.0, nf - 1.0)
+    cw = jnp.where(mode == 1, clamped, jnp.where(mode == 2, mirrored, c))
+    c0 = jnp.floor(cw)
+    idx = c0.astype(jnp.int32)
+    idx = jnp.where(mode == 0, jnp.mod(idx, n), idx)
+    return idx, (cw - c0)
+
+
 def _bilinear_entry(arena, entry, uv, assume_linear=False):
     """Bilinear sample given a (R, 4) table entry (off, w, h, flags)."""
     off = entry[..., 0]
     w = entry[..., 1]
     h = entry[..., 2]
-    srgb = entry[..., 3] > 0
+    flags = entry[..., 3]
+    srgb = (flags & 1) > 0
 
-    u = uv[..., 0] * w.astype(jnp.float32) - 0.5
-    v = uv[..., 1] * h.astype(jnp.float32) - 0.5
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    fu = (u - u0)[..., None]
-    fv = (v - v0)[..., None]
-
-    x0 = jnp.mod(u0.astype(jnp.int32), w)
-    y0 = jnp.mod(v0.astype(jnp.int32), h)
+    x0, fu = _wrap_coord(uv[..., 0], w, (flags >> 1) & 3)
+    y0, fv = _wrap_coord(uv[..., 1], h, (flags >> 3) & 3)
+    fu = fu[..., None]
+    fv = fv[..., None]
 
     quads = arena["data"][off + y0 * w + x0]  # (R, 4) one row gather
     t = _decode4(quads, srgb, assume_linear)  # (R, 4, 4): 00,10,01,11

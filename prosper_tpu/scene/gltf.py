@@ -163,6 +163,31 @@ class GltfDocument:
                 spaces[t.image] = "srgb"
         return spaces
 
+    def image_wrap_modes(self) -> list[tuple[int, int]]:
+        """Per-image (wrap_u, wrap_v) codes: 0 REPEAT, 1 CLAMP_TO_EDGE,
+        2 MIRRORED_REPEAT (materials.glsl sampler wrap; first referencing
+        material texture wins — the texture arena is keyed by image, so
+        two textures sharing an image with different samplers collapse to
+        one mode, which no bundled scene does)."""
+        gl = {10497: 0, 33071: 1, 33069: 1, 33648: 2}
+        modes: list[tuple[int, int] | None] = [None] * len(self.images)
+        for m in self.materials:
+            for t in (
+                m.base_color_texture,
+                m.metallic_roughness_texture,
+                m.normal_texture,
+            ):
+                if t.image >= 0 and modes[t.image] is None:
+                    if 0 <= t.sampler < len(self.samplers):
+                        s = self.samplers[t.sampler]
+                        modes[t.image] = (
+                            gl.get(s.wrap_s, 0),
+                            gl.get(s.wrap_t, 0),
+                        )
+                    else:
+                        modes[t.image] = (0, 0)
+        return [m if m is not None else (0, 0) for m in modes]
+
 
 def _decompose_trs(m: np.ndarray):
     """Decompose a 4x4 into T/R/S (spec guarantees decomposability;

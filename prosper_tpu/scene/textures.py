@@ -197,18 +197,23 @@ def build_texture_arena(
     versioned texture cache.
     """
     color_spaces = doc.image_color_spaces()
+    wrap_modes = doc.image_wrap_modes()
     chunks: list[np.ndarray] = []
     n_tex = len(doc.images) + 1
     table = np.zeros((n_tex, MAX_MIPS, 4), np.int32)
     n_mips = np.zeros(n_tex, np.int32)
     offset = 0
 
-    def add_mips(slot: int, mips: list[np.ndarray], srgb: bool) -> None:
+    def add_mips(
+        slot: int, mips: list[np.ndarray], srgb: bool, wrap=(0, 0)
+    ) -> None:
+        # flags: bit0 srgb, bits1-2 wrap_u, bits3-4 wrap_v (ops/texture)
+        flags = (1 if srgb else 0) | (wrap[0] << 1) | (wrap[1] << 3)
         nonlocal offset
         n_mips[slot] = len(mips)
         for m, mip in enumerate(mips):
             h, w = mip.shape[:2]
-            table[slot, m] = (offset, w, h, 1 if srgb else 0)
+            table[slot, m] = (offset, w, h, flags)
             chunks.append(pack_rgba8_quads(mip))
             offset += h * w
         # clamp table tail to last mip for out-of-range lods
@@ -223,7 +228,7 @@ def build_texture_arena(
         mips = image_mips_cached(
             doc, i, max_dim, srgb, neutral_image(doc, i), scene_path
         )
-        add_mips(i + 1, mips, srgb)
+        add_mips(i + 1, mips, srgb, wrap_modes[i])
 
     return TextureArena(
         data=np.concatenate(chunks).astype(np.uint32),
@@ -285,6 +290,7 @@ def build_streaming_arena(
     from .streaming import LoadedTexture
 
     color_spaces = doc.image_color_spaces()
+    wrap_modes = doc.image_wrap_modes()
     n_tex = len(doc.images) + 1
     table = np.zeros((n_tex, MAX_MIPS, 4), np.int32)
     n_mips = np.zeros(n_tex, np.int32)
@@ -292,13 +298,15 @@ def build_streaming_arena(
     offset = 0
     spans: list[tuple[int, int, np.ndarray]] = []  # (offset, rows, fill)
 
-    def layout(slot: int, h: int, w: int, srgb: bool, fill_rgba: np.ndarray):
+    def layout(slot: int, h: int, w: int, srgb: bool, fill_rgba: np.ndarray,
+               wrap=(0, 0)):
+        flags = (1 if srgb else 0) | (wrap[0] << 1) | (wrap[1] << 3)
         nonlocal offset
         dims = _predicted_mip_dims(h, w)
         n_mips[slot] = len(dims)
         start = offset
         for m, (mh, mw) in enumerate(dims):
-            table[slot, m] = (offset, mw, mh, 1 if srgb else 0)
+            table[slot, m] = (offset, mw, mh, flags)
             offset += mh * mw
         for m in range(len(dims), MAX_MIPS):
             table[slot, m] = table[slot, len(dims) - 1]
@@ -312,7 +320,12 @@ def build_streaming_arena(
     for i in range(len(doc.images)):
         h, w = image_dims(doc, i, max_dim)
         srgb = color_spaces[i] == "srgb"
-        starts.append(layout(i + 1, h, w, srgb, neutral_image(doc, i)[0, 0]))
+        starts.append(
+            layout(
+                i + 1, h, w, srgb, neutral_image(doc, i)[0, 0],
+                wrap_modes[i],
+            )
+        )
 
     data = np.empty((offset, 4), np.uint32)
     for start, rows, fill in spans:
