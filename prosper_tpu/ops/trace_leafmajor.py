@@ -62,7 +62,9 @@ def enumerate_pairs(wc_min, wc_max, ray_o, ray_d, t_min, t_max):
     lo = jnp.minimum(t0, t1).max(axis=-1)
     hi = jnp.maximum(t0, t1).min(axis=-1)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-    enter = (hi >= jnp.maximum(lo, t_min)) & (lo <= t_max_b[:, None])
+    # strict <: disabled rays (t_max = 0, the wavefront convention) whose
+    # stale origin sits inside an AABB (lo == 0) emit no pairs
+    enter = (hi >= jnp.maximum(lo, t_min)) & (lo < t_max_b[:, None])
 
     P = PAIR_CAP_PER_RAY * R
     flat = enter.reshape(R * C)
@@ -404,3 +406,49 @@ def trace_any_leafmajor(
         .max(hit_blk.reshape(-1), mode="drop")[:R]
     )
     return occ, overflow
+
+
+def attrs_from_hit(tris_packed_full, hit):
+    """Interpolate the fused-kernel attribute set for leaf-major hits:
+    one (R, 29) row gather from the 40-row packed arena + the same
+    barycentric blend the packet kernel fuses in
+    (trace_bvh._closest_body interp; rows 9:38 = n0n1n2 | t0t1t2 |
+    uv0uv1uv2 | material | lod). Returns the trace_closest_bvh_full hit
+    dict."""
+    C = tris_packed_full.shape[0]
+    rows = tris_packed_full.shape[1]
+    tri = jnp.maximum(hit["tri"], 0)
+    c = tri // 128
+    lane = tri % 128
+    flat = tris_packed_full.reshape(C * rows * 128)
+    base = (c * rows) * 128 + lane  # row 0 of my cluster, my lane
+    idx = base[:, None] + jnp.arange(9, 38, dtype=tri.dtype)[None, :] * 128
+    a = flat[idx]  # (R, 29): rows 9..37
+    u = hit["u"][:, None]
+    v = hit["v"][:, None]
+    w_b = 1.0 - u - v
+    normal = w_b * a[:, 0:3] + u * a[:, 3:6] + v * a[:, 6:9]
+    tangent = w_b * a[:, 9:13] + u * a[:, 13:17] + v * a[:, 17:21]
+    uv = w_b * a[:, 21:23] + u * a[:, 23:25] + v * a[:, 25:27]
+    miss = hit["tri"] < 0
+    return {
+        "t": hit["t"],
+        "tri": hit["tri"],
+        "normal": jnp.where(miss[:, None], 0.0, normal),
+        "tangent": jnp.where(miss[:, None], 0.0, tangent),
+        "uv": jnp.where(miss[:, None], 0.0, uv),
+        "material": jnp.where(miss, 0, a[:, 27].astype(jnp.int32)),
+        "tri_lod": jnp.where(miss, 0.0, a[:, 28]),
+    }
+
+
+def trace_closest_leafmajor_full(
+    tris_packed_full, wc_min, wc_max, ray_o, ray_d, t_min, t_max
+):
+    """Leaf-major closest hit + attribute interpolation: same contract
+    as trace_bvh.trace_closest_bvh_full (minus the packed/perm options —
+    leaf-major needs no ray sorting)."""
+    h = trace_closest_leafmajor(
+        tris_packed_full, wc_min, wc_max, ray_o, ray_d, t_min, t_max
+    )
+    return attrs_from_hit(tris_packed_full, h)

@@ -55,6 +55,9 @@ from .shading import sample_light
 from .surface import evaluate_surface
 
 ROULETTE_START_BOUNCE = 1  # reference UI default (RtReference.hpp)
+BOUNCE_TRACER = "leafmajor"  # "leafmajor" (per-leaf pair blocks) or
+# "packet" (coherence-sorted packet BVH kernel) for bounce/shadow rays;
+# module-level so the A/B scripts can flip it (jax.clear_caches between)
 
 
 def _dot(a, b):
@@ -161,6 +164,21 @@ def pt_trace_pixels(
     # wavefront-scale coherence sort feeds the Pallas packet kernels; the
     # CPU/XLA reference tracer is order-independent
     sort_rays = use_full_kernel
+    # incoherent bounce/shadow rays ride the leaf-major pair tracer
+    # (ops/trace_leafmajor.py): per-leaf dense Möller blocks over exactly
+    # the candidate (ray, leaf) pairs instead of hemisphere packets that
+    # union-visit ~16x what each ray needs. Primary rays stay on the
+    # packet BVH kernel (coherent packets amortize perfectly there).
+    leafmajor = (
+        BOUNCE_TRACER == "leafmajor" and use_full_kernel and bvh is not None
+    )
+    if leafmajor:
+        from ..ops.trace_leafmajor import (
+            trace_any_leafmajor,
+            trace_closest_leafmajor_full,
+        )
+
+        sort_rays = False  # pair blocks need no ray-order coherence
 
     def alpha_retrace(state, o, d, tmax, hit):
         """The stochastic any-hit retrace loop (scene.rahit): ignored
@@ -334,7 +352,12 @@ def pt_trace_pixels(
         )
         shadow_d = jnp.where(need_shadow[..., None], l, ray_d)
         shadow_tmax = jnp.where(need_shadow, dist, 0.0)
-        if sort_rays:
+        if leafmajor:
+            occluded, _ovf = trace_any_leafmajor(
+                packed_full, wc_min, wc_max,
+                shadow_o, shadow_d, 0.1, shadow_tmax,
+            )
+        elif sort_rays:
             s_cluster = jnp.maximum(hit["tri"], 0) // trace.CLUSTER_PAD
             perm, inv = _sorted(_sort_key(s_cluster, shadow_d, need_shadow))
             occluded = trace_any_fn(
@@ -522,7 +545,18 @@ def pt_trace_pixels(
             n_extra = n_extra + jnp.where(
                 more, jnp.sum(c_active.astype(jnp.int32)), 0
             )
-            if sort_rays:
+            if leafmajor:
+                def run_trace(a):
+                    c_state_, c_o_, c_d_, c_tmax_ = a
+                    h = trace_closest_leafmajor_full(
+                        packed_full, wc_min, wc_max,
+                        c_o_, c_d_, 1e-4, c_tmax_,
+                    )
+                    if alpha_rounds:
+                        h = alpha_retrace(c_state_, c_o_, c_d_, c_tmax_, h)
+                    return h
+
+            elif sort_rays:
                 # bounce rays leave the surface their parent hit: sort by
                 # (that cluster, direction octant) for packet coherence
                 b_cluster = jnp.maximum(c_hit["tri"], 0) // trace.CLUSTER_PAD

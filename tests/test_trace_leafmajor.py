@@ -105,3 +105,101 @@ def test_enumerate_pairs_counts():
     pr, plf, pv = np.asarray(pr), np.asarray(plf), np.asarray(pv)
     got[pr[pv], plf[pv]] = True
     np.testing.assert_array_equal(got, want)
+
+
+def test_leafmajor_full_matches_packet_kernel():
+    """attrs_from_hit must reproduce the fused packet kernel's
+    interpolated attribute set exactly (same rows, same blend)."""
+    from prosper_tpu.accel.bvh import build_bvh, pack_nodes
+    from prosper_tpu.ops import trace_bvh
+    from prosper_tpu.ops.trace_pallas_full import pack_tris_full
+
+    tris, wc_min, wc_max = _random_scene(n_clusters=6, seed=2)
+    o, d = _rays(11, trace.TILE * 2)
+
+    # pack_tris_full wants the scene dicts; build the 40-row arena from
+    # the plain packed rows + synthetic attribute rows instead
+    rng = np.random.default_rng(12)
+    packed9 = np.asarray(trace_pallas.pack_tris(tris))
+    C = packed9.shape[0]
+    full = np.zeros((C, 40, 128), np.float32)
+    full[:, :9] = packed9
+    full[:, 9:38] = rng.random((C, 29, 128), dtype=np.float32)
+    full_d = jnp.asarray(full)
+
+    bvh = build_bvh(np.asarray(wc_min), np.asarray(wc_max), max_leaf_size=1)
+    bounds, meta = pack_nodes(bvh)
+
+    with interpret_mode():
+        want = trace_bvh.trace_closest_bvh_full(
+            full_d, jnp.asarray(bounds), jnp.asarray(meta),
+            jnp.asarray(o), jnp.asarray(d), 1e-4, np.inf,
+        )
+        got = trace_leafmajor.trace_closest_leafmajor_full(
+            full_d, jnp.asarray(wc_min), jnp.asarray(wc_max),
+            jnp.asarray(o), jnp.asarray(d), 1e-4, np.inf,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(got["tri"]), np.asarray(want["tri"])
+    )
+    sel = np.asarray(want["tri"]) >= 0
+    for k in ("t", "normal", "tangent", "uv", "tri_lod"):
+        np.testing.assert_allclose(
+            np.asarray(got[k])[sel], np.asarray(want[k])[sel],
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(got["material"])[sel], np.asarray(want["material"])[sel]
+    )
+
+
+def test_pt_frame_leafmajor_matches_packet():
+    """Full PT sample with bounce/shadow on the leaf-major tracer must
+    match the packet-kernel path (same RNG streams, same closest hits;
+    only the traversal strategy differs). Forces the TPU code path in
+    interpret mode."""
+    import jax
+
+    from prosper_tpu.render import pt
+    from prosper_tpu.render.shading import pack_light_table
+    from prosper_tpu.testing import make_test_scene
+
+    static, frame, arena, cam_fn = make_test_scene(n_boxes=4)
+    dev = lambda t: {  # noqa: E731
+        k: (
+            {kk: jnp.asarray(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+        for k, v in t.items()
+    }
+    static, frame, arena = dev(static), dev(frame), dev(arena)
+    from prosper_tpu.ops.texture import pack_material_tables
+
+    arena["mat_f32"], arena["mat_i32"] = pack_material_tables(
+        static["materials"], arena
+    )
+    W = H = 32
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(W, H).items()}
+
+    imgs = {}
+    with interpret_mode(), mock.patch.object(
+        jax, "default_backend", lambda: "tpu"
+    ):
+        for tracer in ("packet", "leafmajor"):
+            pt.BOUNCE_TRACER = tracer
+            jax.clear_caches()
+            try:
+                imgs[tracer] = np.asarray(
+                    pt.pt_render_sample(
+                        static, frame, arena, cam, W, H, 3, max_bounces=2
+                    )
+                )
+            finally:
+                pt.BOUNCE_TRACER = "leafmajor"
+        jax.clear_caches()
+    assert np.isfinite(imgs["packet"]).all()
+    assert np.abs(imgs["packet"]).sum() > 0
+    np.testing.assert_allclose(
+        imgs["leafmajor"], imgs["packet"], rtol=2e-4, atol=2e-5
+    )
