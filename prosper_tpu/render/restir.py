@@ -228,6 +228,7 @@ def restir_shade(
     res_ucw: jnp.ndarray,
     tris: dict,
     frame: dict,
+    tris_packed: jnp.ndarray | None = None,
 ):
     """Traced final shading (main.rgen evaluateDirectLightingReSTIR)."""
     li = jnp.maximum(res_light, 0)
@@ -247,18 +248,25 @@ def restir_shade(
     import jax
 
     if jax.default_backend() != "cpu" and trace.frame_bvh(frame) is not None:
-        # rays toward the SAME light form a convergent cone: sorting by
-        # the winning light id turns the 1024-random-light shadow batch
-        # from worst-case divergent packets into coherent ones (the sort
-        # permutation is fused into the kernel's ray prep)
-        key = jnp.where(valid, li, jnp.int32(2**30))
-        perm = jnp.argsort(key)
-        inv = (
-            jnp.zeros_like(perm)
-            .at[perm]
-            .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
+        # leaf-major pair blocks: the 1024-random-light shadow batch is
+        # the worst packet-coherence case (even sorted by winning light
+        # it cost ~69 ms/frame round 2); per-leaf dense blocks test only
+        # the candidate (ray, leaf) pairs and need no sorting at all
+        from ..ops.trace_leafmajor import trace_any_leafmajor
+
+        if tris_packed is None:
+            from ..ops.trace_pallas import pack_tris
+
+            tris_packed = pack_tris(tris)
+        occluded, _ovf = trace_any_leafmajor(
+            tris_packed,
+            frame["wc_aabb_min_w"],
+            frame["wc_aabb_max_w"],
+            shadow_o,
+            shadow_d,
+            0.1,
+            shadow_tmax,
         )
-        occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm)[inv]
     else:
         occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
     vis = jnp.where(valid & ~occluded, 1.0, 0.0)
@@ -327,6 +335,14 @@ def render_restir(
         py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
     lights = frame["lights"]
     tris = trace.world_triangles(static_scene, frame)
+    if jax.default_backend() != "cpu":
+        # packed once OUTSIDE the chunk loop (loop bodies don't reliably
+        # hoist the transform) for the leaf-major shadow batch
+        from ..ops.trace_pallas import pack_tris
+
+        tris_packed = pack_tris(tris)
+    else:
+        tris_packed = None
 
     # All three ReSTIR stages run tile-compacted on the G-buffer's valid
     # mask (ops/compact.tile_apply): the 5-candidate RIS light gathers,
@@ -376,7 +392,10 @@ def render_restir(
         )
         c_surface = dict(c_surface)
         c_surface["valid"] = lane_ok
-        color = restir_shade(c_surface, lights, li1, ucw1, tris, frame)
+        color = restir_shade(
+            c_surface, lights, li1, ucw1, tris, frame,
+            tris_packed=tris_packed,
+        )
         return color
 
     color = tile_apply(valid_p, _spatial_shade, in_p)[: px.shape[0]]
