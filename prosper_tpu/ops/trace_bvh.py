@@ -523,7 +523,9 @@ def _closest_body(fused, wide=False, masked=False):
                     cur = pend[0, slot]
                     if not DEBUG_NO_DMA:
                         get_dma(slot, cur).wait()
-                    slab = tri_slab[slot]
+                    # f16 slabs (pack_tris_full dtype) convert to f32
+                    # in registers; identity for f32 arenas
+                    slab = tri_slab[slot].astype(jnp.float32)
 
                     if DEBUG_NO_MOLLER or DEBUG_NO_DMA:
                         hit = jnp.zeros((TILE, 128), jnp.bool_)
@@ -565,7 +567,7 @@ def _closest_body(fused, wide=False, masked=False):
                             selw = sel.astype(jnp.float32)
                             w_b = 1.0 - u - v
                             acopy.wait()
-                            aslab = attr_slab[0]
+                            aslab = attr_slab[0].astype(jnp.float32)
 
                             def interp(r0, r1, r2):
                                 a = (
@@ -756,7 +758,7 @@ def trace_closest_bvh(
         in_specs=_in_specs(),
         out_specs=[_out_block(8)],
         scratch_shapes=[
-            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), jnp.float32),
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
             pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
@@ -815,8 +817,8 @@ def trace_closest_bvh_full(
         in_specs=_in_specs(),
         out_specs=[_out_block(16)],
         scratch_shapes=[
-            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), jnp.float32),
-            pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), jnp.float32),
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
+            pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
             pltpu.VMEM((TILE, 12), jnp.float32),
@@ -936,7 +938,8 @@ def _any_body(wide=False):
                     cur = pend[0, slot]
                     get_dma(slot, cur).wait()
                     hit, t, _, _ = _moller_block(
-                        tri_slab[slot][0:9], ox, oy, oz, dx, dy, dz, t_min, tmax
+                        tri_slab[slot][0:9].astype(jnp.float32),
+                        ox, oy, oz, dx, dy, dz, t_min, tmax,
                     )
                     occ = occ | jnp.any(hit, axis=1, keepdims=True).astype(
                         jnp.int32
@@ -998,7 +1001,7 @@ def trace_any_bvh(
         in_specs=_in_specs(),
         out_specs=[_out_block()],
         scratch_shapes=[
-            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), jnp.float32),
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
             pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
@@ -1033,12 +1036,12 @@ def _in_specs8(n8):
     ]
 
 
-def _wide_grid(n_steps, n8, out_width, fused):
+def _wide_grid(n_steps, n8, out_width, fused, tris_dtype=jnp.float32):
     scratch = [
-        pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), jnp.float32),
+        pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_dtype),
     ]
     if fused:
-        scratch.append(pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), jnp.float32))
+        scratch.append(pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), tris_dtype))
     scratch += [
         pltpu.VMEM((FRAMES8 * 8, 1), jnp.int32),  # sorted key frames
         pltpu.VMEM((FRAMES8 * 8, 1), jnp.int32),  # sorted enc frames
@@ -1078,7 +1081,8 @@ def trace_closest_bvh8(
     """8-wide BVH closest-hit; contract of trace_closest_bvh."""
     del t_min
     R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
-    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 8, fused=False)
+    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 8, fused=False,
+                           tris_dtype=tris_packed.dtype)
     n_tiles = n_steps * TILES_PER_STEP
     (out,) = pl.pallas_call(
         _closest_body(fused=False, wide=True),
@@ -1109,7 +1113,8 @@ def trace_closest_bvh8_full(
     of trace_closest_bvh_full."""
     del t_min
     R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
-    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 16, fused=True)
+    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 16, fused=True,
+                           tris_dtype=tris_packed.dtype)
     n_tiles = n_steps * TILES_PER_STEP
     (out,) = pl.pallas_call(
         _closest_body(fused=True, wide=True),
@@ -1135,7 +1140,8 @@ def trace_any_bvh8(
     """8-wide BVH any-hit; contract of trace_any_bvh."""
     del t_min
     R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
-    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 1, fused=False)
+    grid_spec = _wide_grid(n_steps, nodes8.shape[0], 1, fused=False,
+                           tris_dtype=tris_packed.dtype)
     n_tiles = n_steps * TILES_PER_STEP
     (occ,) = pl.pallas_call(
         _any_body(wide=True),

@@ -178,7 +178,8 @@ def _pairs_kernel(any_hit):
                 t_min = colsT[:, 6:7]
                 t_up = colsT[:, 7:8]
                 hit, t, u, v = _moller_block(
-                    tri_slab[k % 2], ox, oy, oz, dx, dy, dz, t_min, t_up
+                    tri_slab[k % 2].astype(jnp.float32),
+                    ox, oy, oz, dx, dy, dz, t_min, t_up,
                 )
                 if any_hit:
                     occ = jnp.any(hit, axis=1, keepdims=True)
@@ -276,7 +277,7 @@ def _run_pairs(tris_packed, block_leaf, cols, any_hit):
             )
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 9, 128), jnp.float32),
+            pltpu.VMEM((2, 9, 128), tris_packed.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -423,7 +424,7 @@ def attrs_from_hit(tris_packed_full, hit):
     flat = tris_packed_full.reshape(C * rows * 128)
     base = (c * rows) * 128 + lane  # row 0 of my cluster, my lane
     idx = base[:, None] + jnp.arange(9, 38, dtype=tri.dtype)[None, :] * 128
-    a = flat[idx]  # (R, 29): rows 9..37
+    a = flat[idx].astype(jnp.float32)  # (R, 29): rows 9..37
     u = hit["u"][:, None]
     v = hit["v"][:, None]
     w_b = 1.0 - u - v

@@ -35,15 +35,22 @@ from .trace import CLUSTER_PAD, TILE, _pad_rays
 from .trace_pallas import _moller_block
 
 ROWS = 40
+TRIS_DTYPE = jnp.float16  # device geometry quantization (Mesh.hpp:11-15
+# parity): trace slabs ship as f16 and dequantize to f32 in VMEM
+# registers — halves geometry HBM + leaf-slab DMA bytes. Set to
+# jnp.float32 for exact-parity debugging.
 
 
-def pack_tris_full(static_scene: dict, frame: dict, dtype=jnp.float32) -> jnp.ndarray:
+def pack_tris_full(static_scene: dict, frame: dict, dtype=None) -> jnp.ndarray:
     """Per-frame (C, 40, 128) slabs: world-space geometry + attributes.
 
     dtype=float16 halves the traversal loop's HBM traffic — the
     reference quantizes its vertex buffers the same way (f16x4 positions,
     f16x2 UVs, src/scene/Mesh.hpp:11-15); the BVH kernels convert rows
-    back to f32 in VMEM registers."""
+    back to f32 in VMEM registers. dtype=None uses the module default
+    TRIS_DTYPE."""
+    if dtype is None:
+        dtype = TRIS_DTYPE
     inst = static_scene["wt_instance"]  # (S,)
     m = frame["transforms"][inst]  # (S, 3, 4)
     nm = frame["normal_transforms"][inst]  # (S, 3, 3)
@@ -171,7 +178,7 @@ def _kernel(
             get_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
         get_dma(slot, k).wait()
-        slab = tri_slab[slot]
+        slab = tri_slab[slot].astype(jnp.float32)
 
         hit, t, u, v = _moller_block(
             slab[0:9], ox, oy, oz, dx, dy, dz, t_min, best_t
@@ -289,7 +296,7 @@ def trace_closest_full(
             pl.BlockSpec((1, TILE, 12), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, ROWS, 128), tris_packed.dtype),
             pltpu.SMEM((1, maxc), jnp.int32),
             pltpu.SMEM((1, maxc), jnp.float32),
             pltpu.VMEM((TILE, 12), jnp.float32),

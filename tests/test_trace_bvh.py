@@ -176,6 +176,7 @@ def test_bvh_full_matches_plain_and_interpolates():
     packed_full = pack_tris_full(
         {k: jnp.asarray(v) for k, v in static.items() if k != "materials"},
         {k: jnp.asarray(v) for k, v in frame.items() if k != "lights"},
+        dtype=jnp.float32,  # exact-parity test; f16 covered separately
     )
     wc_min, wc_max = frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
     bounds, meta = _nodes(wc_min, wc_max)

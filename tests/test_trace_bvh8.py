@@ -132,6 +132,7 @@ def test_bvh8_full_matches_bvh2_full():
     packed_full = pack_tris_full(
         {k: jnp.asarray(v) for k, v in static.items() if k != "materials"},
         {k: jnp.asarray(v) for k, v in frame.items() if k != "lights"},
+        dtype=jnp.float32,  # exact-parity test; f16 covered separately
     )
     wc_min, wc_max = frame["wc_aabb_min_w"], frame["wc_aabb_max_w"]
     bvh = build_bvh(np.asarray(wc_min), np.asarray(wc_max), max_leaf_size=1)

@@ -50,7 +50,9 @@ def test_full_kernel_matches_xla_surface():
     )
     surf_ref = evaluate_surface(static, frame, arena, o, d, hit_ref)
 
-    packed = trace_pallas_full.pack_tris_full(static, frame)
+    # f32 arena: this test asserts exact kernel-logic parity; the
+    # f16 default is covered by test_f16_arena_quantization_tolerance
+    packed = trace_pallas_full.pack_tris_full(static, frame, dtype=jnp.float32)
     import jax.experimental.pallas as pl
     from unittest import mock
 
@@ -86,4 +88,51 @@ def test_full_kernel_matches_xla_surface():
     np.testing.assert_array_equal(
         np.asarray(surf_full["material"])[valid],
         np.asarray(surf_ref["material"])[valid],
+    )
+
+
+def test_f16_arena_quantization_tolerance():
+    """The f16 device-geometry default (TRIS_DTYPE, Mesh.hpp:11-15
+    parity) must agree with the f32 arena within quantization tolerance:
+    same hit set, t within ~1e-3 relative (f16 mantissa on unit-scale
+    scenes)."""
+    from prosper_tpu.accel.bvh import build_bvh, pack_nodes
+    from prosper_tpu.ops import trace_bvh
+    from tests.test_trace_bvh import interpret_mode
+
+    static, frame, arena, cam_fn = make_test_scene(n_boxes=4)
+    st = {k: jnp.asarray(v) for k, v in static.items() if k != "materials"}
+    fr = {k: jnp.asarray(v) for k, v in frame.items() if k != "lights"}
+    p32 = trace_pallas_full.pack_tris_full(st, fr, dtype=jnp.float32)
+    p16 = trace_pallas_full.pack_tris_full(st, fr, dtype=jnp.float16)
+    assert p16.dtype == jnp.float16
+
+    bvh = build_bvh(frame["wc_aabb_min_w"], frame["wc_aabb_max_w"],
+                    max_leaf_size=1)
+    bounds, meta = (jnp.asarray(a) for a in pack_nodes(bvh))
+    rng = np.random.default_rng(0)
+    R = 512
+    o = rng.uniform(-6, 6, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    with interpret_mode():
+        h32 = trace_bvh.trace_closest_bvh_full(
+            p32, bounds, meta, jnp.asarray(o), jnp.asarray(d), 1e-4, np.inf
+        )
+        h16 = trace_bvh.trace_closest_bvh_full(
+            p16, bounds, meta, jnp.asarray(o), jnp.asarray(d), 1e-4, np.inf
+        )
+    m32 = np.asarray(h32["tri"]) >= 0
+    m16 = np.asarray(h16["tri"]) >= 0
+    # the hit SET may flip on grazing rays; require near-total agreement
+    assert (m32 == m16).mean() > 0.99
+    both = m32 & m16
+    np.testing.assert_allclose(
+        np.asarray(h16["t"])[both], np.asarray(h32["t"])[both],
+        rtol=5e-3, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h16["normal"])[both], np.asarray(h32["normal"])[both],
+        rtol=2e-2, atol=2e-2,
     )
