@@ -92,7 +92,7 @@ def main() -> int:
         for k, v in frame.items()
         if k not in ("lights", "scene_camera", "bvh_depth")
     }
-    packed40 = pack_tris_full(static_dev, frame_dev)
+    packed40 = pack_tris_full(static_dev, frame_dev, dtype=jnp.float32)
     full = trace_bvh.trace_closest_bvh_full(
         packed40, bounds, meta, o, d, 1e-4, jnp.inf
     )
@@ -101,6 +101,39 @@ def main() -> int:
         "trace_closest_bvh_full",
         bool(jnp.all(full["tri"] == ref["tri"]))
         and bool(jnp.all(jnp.isfinite(jnp.where(sel[:, None], full["normal"], 0.0)))),
+    )
+
+    # ---- f16 device-geometry quantization (TRIS_DTYPE default) ----
+    packed40h = pack_tris_full(static_dev, frame_dev, dtype=jnp.float16)
+    fullh = trace_bvh.trace_closest_bvh_full(
+        packed40h, bounds, meta, o, d, 1e-4, jnp.inf
+    )
+    agree = float(jnp.mean((fullh["tri"] == ref["tri"]).astype(jnp.float32)))
+    both = (fullh["tri"] >= 0) & sel
+    terr = float(jnp.max(jnp.where(both, jnp.abs(fullh["t"] - ref["t"]), 0.0)))
+    check("trace_closest_bvh_full_f16", agree > 0.99 and terr < 5e-3,
+          f"tri_agree={agree:.4f} t_err={terr:.2e}")
+
+    # ---- leaf-major pair tracer (bounce/shadow path) ----
+    from prosper_tpu.ops import trace_leafmajor
+
+    lm = trace_leafmajor.trace_closest_leafmajor(
+        packed9, wc_min, wc_max, o, d, 1e-4, jnp.inf
+    )
+    check(
+        "trace_closest_leafmajor",
+        bool(jnp.all(lm["tri"] == ref["tri"]))
+        and float(
+            jnp.max(jnp.where(sel, jnp.abs(lm["t"] - ref["t"]), 0.0))
+        ) < 1e-3
+        and not bool(lm["_overflow"]),
+    )
+    lm_any, lm_ovf = trace_leafmajor.trace_any_leafmajor(
+        packed9, wc_min, wc_max, o, d, 0.1, 8.0
+    )
+    check(
+        "trace_any_leafmajor",
+        bool(jnp.all(lm_any == ref_any)) and not bool(lm_ovf),
     )
 
     # ---- per-ray threaded-BVH walk (experimental; ops/trace_wavefront)
