@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="debug AOV (forward mode): primitive_id|meshlet_id|mesh_id|"
         "material_id|position|shading_normal|texcoord0|albedo|roughness|metallic",
     )
+    r.add_argument(
+        "--aniso-taps", type=int, default=1, metavar="N",
+        help="anisotropic material filtering: N trilinear taps along the "
+        "uv-space major footprint axis (reference samplers run "
+        "maxAnisotropy=16, WorldData.cpp:693-714; 1 = trilinear)",
+    )
     r.add_argument("--dump-debug", default=None, metavar="PATH",
                    help="TextureDebug analog: also dump the raw HDR frame")
     r.add_argument("--out", default="out/frame.png")
@@ -404,6 +410,7 @@ def main(argv: list[str] | None = None) -> int:
             ibl_data=ibl_data,
             env=env,
             draw_type=_draw_type_index(args.draw_type),
+            aniso_taps=args.aniso_taps,
             # stochastic-alpha any-hit only when the scene has non-opaque
             # materials (scene.rahit parity)
             alpha_rounds=2 if bool((world.materials.alpha_mode != 0).any()) else 0,

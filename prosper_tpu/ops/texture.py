@@ -102,6 +102,27 @@ def sample_trilinear(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray, lod,
     return s0 * (1 - f) + s1 * f
 
 
+def sample_aniso(arena: dict, tex: jnp.ndarray, uv: jnp.ndarray,
+                 duv_major: jnp.ndarray, lod_minor, taps: int,
+                 assume_linear=False):
+    """Software anisotropic filter (the reference samples materials with
+    maxAnisotropy=16, WorldData.cpp:693-714): `taps` trilinear samples
+    spread along the UV-space major footprint axis at the MINOR-axis
+    mip, averaged. duv_major: (R, 2) full major-axis extent in uv units;
+    lod_minor: (R,) log2 texel extent of the minor axis."""
+    assert taps >= 1
+    if taps == 1:
+        return sample_trilinear(arena, tex, uv, lod_minor, assume_linear)
+    acc = None
+    for i in range(taps):
+        f = (i + 0.5) / taps - 0.5
+        s = sample_trilinear(
+            arena, tex, uv + f * duv_major, lod_minor, assume_linear
+        )
+        acc = s if acc is None else acc + s
+    return acc / taps
+
+
 def pack_material_tables(materials: dict, arena: dict):
     """Fold the material SoA + the three textures' mip-0 table entries
     into two row tables so sampleMaterial costs 2 row gathers + 3 quad
@@ -133,13 +154,18 @@ def pack_material_tables(materials: dict, arena: dict):
     return jnp.asarray(f32), jnp.asarray(i32)
 
 
-def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv, lod=None):
+def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv, lod=None,
+                           duv_major=None, aniso_taps: int = 1):
     """Fast-path sampleMaterial over the packed tables.
 
     lod=None: base-mip (the RT shaders' derivative-free texture()).
     lod given: per-ray log2 world-footprint-times-uv-density; each
     texture adds log2 of its own base dimension (ray-cone mip selection,
-    the raster path's derivative LOD analog, Renderer.cpp:709-715)."""
+    the raster path's derivative LOD analog, Renderer.cpp:709-715).
+    duv_major + aniso_taps > 1: anisotropic filtering — lod is then the
+    MINOR-axis footprint and every texture takes `aniso_taps` trilinear
+    taps along the uv-space major axis (maxAnisotropy=16 sampler parity,
+    WorldData.cpp:693-714)."""
     f32 = arena["mat_f32"][mat_idx]  # (R, 8)
     i32 = arena["mat_i32"][mat_idx]  # (R, 16)
 
@@ -153,6 +179,11 @@ def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv, lod=None):
                 jnp.float32
             )
             lod_t = lod + jnp.log2(jnp.maximum(size, 1.0))
+            if aniso_taps > 1 and duv_major is not None:
+                return sample_aniso(
+                    arena, tex_ids, uv, duv_major, lod_t, aniso_taps,
+                    assume_linear=linear,
+                )
             return sample_trilinear(
                 arena, tex_ids, uv, lod_t, assume_linear=linear
             )

@@ -102,7 +102,7 @@ def shade_deferred(
     static_argnames=(
         "width", "height", "use_taa", "use_bloom", "use_dof", "use_culling",
         "use_transparent", "use_particles", "bloom_technique",
-        "alpha_rounds",
+        "alpha_rounds", "aniso_taps",
     ),
 )
 def render_deferred(
@@ -128,6 +128,7 @@ def render_deferred(
     bloom_kernel: jnp.ndarray | None = None,
     particle_state: dict | None = None,
     alpha_rounds: int = 0,
+    aniso_taps: int = 1,
 ):
     """Deferred frame + optional post chain, in the reference's pass order
     (Renderer.cpp:485-584): skybox -> transparent -> bloom -> particles ->
@@ -153,6 +154,7 @@ def render_deferred(
         lod_bias=-1.0 if use_taa else 0.0,
         alpha_rounds=alpha_rounds,
         pixel_order=order,
+        aniso_taps=aniso_taps,
     )
     clusters = (
         None
@@ -340,6 +342,7 @@ def deferred_entry(
         ibl_data=kwargs.get("ibl_data"),
         use_culling=kwargs.get("use_culling", False),
         prev_hiz=state.get("hiz"),
+        aniso_taps=kwargs.get("aniso_taps", 1),
         use_transparent=use_transparent,
         use_particles=use_particles,
         bloom_technique=bloom_technique,

@@ -131,8 +131,13 @@ def render_gbuffer(
     full_height: int | None = None,
     alpha_rounds: int = 0,
     pixel_order: str = "row",
+    aniso_taps: int = 1,
 ):
     """Trace primary rays and produce the G-buffer pytree (flat R = W*H).
+
+    aniso_taps > 1 enables anisotropic material filtering (the
+    reference's maxAnisotropy=16 samplers, WorldData.cpp:693-714):
+    that many trilinear taps along the uv-space major footprint axis.
 
     pixel_order="block16" keeps every output in the TRACE order (16x16
     blocks over a height-padded grid, trace.block_order_padded) instead
@@ -181,7 +186,27 @@ def render_gbuffer(
     tris = trace.world_triangles(static_scene, frame)
     use_full = jax.default_backend() != "cpu"
     bvh = trace.frame_bvh(frame)
-    if use_full:
+    aniso_kernel = False
+    if use_full and aniso_taps > 1 and bvh is not None:
+        # anisotropic filtering needs barycentrics + vertex gathers for
+        # the uv Jacobian, which the fused-attribute hit rows don't
+        # carry: trace with the PLAIN BVH kernel and evaluate the
+        # surface through the gather path (costs the gathers the fused
+        # kernel avoids — the reference's always-on maxAnisotropy=16 is
+        # opt-in here for that reason)
+        from ..ops.trace_bvh import trace_closest_bvh
+        from ..ops.trace_pallas import pack_tris
+
+        packed9 = pack_tris(tris)
+
+        def make_closest(mn, mx, _p9=packed9):
+            from functools import partial
+
+            return partial(trace_closest_bvh, _p9, bvh[0], bvh[1])
+
+        use_full = False
+        aniso_kernel = True
+    elif use_full:
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
         packed_full = pack_tris_full(static_scene, frame)
@@ -206,9 +231,15 @@ def render_gbuffer(
     def make_culled(mask):
         """Phase tracer for a cluster visibility mask: in-kernel leaf
         skip on the BVH path, masked (inverted) AABBs on the others."""
-        if use_full and bvh is not None:
-            from functools import partial
+        from functools import partial
 
+        if aniso_kernel:
+            from ..ops.trace_bvh import trace_closest_bvh
+
+            return partial(
+                trace_closest_bvh, packed9, bvh[0], bvh[1], skip_mask=mask
+            )
+        if use_full and bvh is not None:
             from ..ops.trace_bvh import trace_closest_bvh_full
 
             return partial(
@@ -330,7 +361,11 @@ def render_gbuffer(
     # lodBias -1 under TAA (Renderer.cpp:709-715)
     from .surface import pixel_cone_alpha
 
-    cone = {"alpha": pixel_cone_alpha(cam, height), "bias": lod_bias}
+    cone = {
+        "alpha": pixel_cone_alpha(cam, height),
+        "bias": lod_bias,
+        "aniso_taps": aniso_taps,
+    }
 
     # surface eval (incl. the trilinear material taps, the deferred
     # frame's #1 texture cost) runs only on 256-lane tiles containing a

@@ -138,6 +138,8 @@ def evaluate_surface(
     position = ray_o + hit["t"][..., None] * ray_d
 
     material = static_scene["wt_material"][tri]
+    duv_major = None
+    aniso_taps = int((cone or {}).get("aniso_taps", 1))
     if cone is not None and lod is None:
         # ray-cone LOD from gathered geometry (the fused-kernel path
         # packs tri_lod instead; see cone_lod)
@@ -155,13 +157,46 @@ def evaluate_surface(
         tri_lod = 0.5 * jnp.log2(
             jnp.maximum(uv_area, 1e-20) / jnp.maximum(w_area, 1e-20)
         )
-        lod = cone_lod(
-            {"tri_lod": tri_lod, "t": hit["t"]}, ray_d, n_ws, cone
-        )
+        if aniso_taps > 1:
+            # anisotropic ray-cone footprint (maxAnisotropy=16 parity,
+            # WorldData.cpp:693-714): minor axis = cone width, major =
+            # width / cos(theta) along the in-plane view direction,
+            # ratio clamped to 16; the world major axis maps to uv via
+            # the triangle's edge basis (Gram solve).
+            cosd = jnp.abs(jnp.sum(ray_d * n_ws, axis=-1))
+            t_hit = jnp.where(jnp.isfinite(hit["t"]), hit["t"], 0.0)
+            w_minor = jnp.maximum(t_hit, 1e-6) * cone["alpha"]
+            ratio = jnp.clip(1.0 / jnp.maximum(cosd, 1e-3), 1.0, 16.0)
+            mdir = ray_d - n_ws * jnp.sum(ray_d * n_ws, axis=-1)[..., None]
+            mdir = mdir / jnp.maximum(
+                jnp.linalg.norm(mdir, axis=-1, keepdims=True), 1e-9
+            )
+            vec = mdir * (w_minor * ratio)[..., None]
+            g11 = jnp.sum(e1w * e1w, axis=-1)
+            g12 = jnp.sum(e1w * e2w, axis=-1)
+            g22 = jnp.sum(e2w * e2w, axis=-1)
+            det = jnp.maximum(g11 * g22 - g12 * g12, 1e-20)
+            b1 = jnp.sum(e1w * vec, axis=-1)
+            b2 = jnp.sum(e2w * vec, axis=-1)
+            x = (g22 * b1 - g12 * b2) / det
+            y = (g11 * b2 - g12 * b1) / det
+            duv_major = x[..., None] * uve1 + y[..., None] * uve2
+            lod = (
+                tri_lod
+                + jnp.log2(jnp.maximum(w_minor, 1e-8))
+                + cone.get("bias", 0.0)
+            )
+        else:
+            lod = cone_lod(
+                {"tri_lod": tri_lod, "t": hit["t"]}, ray_d, n_ws, cone
+            )
     if "mat_f32" in arena:
         from ..ops.texture import sample_material_packed
 
-        mat = sample_material_packed(arena, material, uv, lod)
+        mat = sample_material_packed(
+            arena, material, uv, lod,
+            duv_major=duv_major, aniso_taps=aniso_taps,
+        )
     else:
         mat = sample_material(
             arena, static_scene["materials"], material, uv, lod,
