@@ -57,21 +57,24 @@ def enumerate_pairs(wc_min, wc_max, ray_o, ray_d, t_min, t_max):
     inv_d = jnp.where(
         jnp.abs(ray_d) > 1e-12, 1.0 / ray_d, jnp.float32(1e30)
     )
-    t0 = (wc_min[None, :, :] - ray_o[:, None, :]) * inv_d[:, None, :]
-    t1 = (wc_max[None, :, :] - ray_o[:, None, :]) * inv_d[:, None, :]
+    # LEAF-major mask (C, R): nonzero then emits pair ids already
+    # grouped by leaf, so block building needs NO pair sort (an argsort
+    # of 8R keys would otherwise dominate the glue at wavefront scale)
+    t0 = (wc_min[:, None, :] - ray_o[None, :, :]) * inv_d[None, :, :]
+    t1 = (wc_max[:, None, :] - ray_o[None, :, :]) * inv_d[None, :, :]
     lo = jnp.minimum(t0, t1).max(axis=-1)
     hi = jnp.maximum(t0, t1).min(axis=-1)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     # strict <: disabled rays (t_max = 0, the wavefront convention) whose
     # stale origin sits inside an AABB (lo == 0) emit no pairs
-    enter = (hi >= jnp.maximum(lo, t_min)) & (lo < t_max_b[:, None])
+    enter = (hi >= jnp.maximum(lo, t_min)) & (lo < t_max_b[None, :])
 
     P = PAIR_CAP_PER_RAY * R
-    flat = enter.reshape(R * C)
-    (ids,) = jnp.nonzero(flat, size=P, fill_value=R * C)
-    pair_valid = ids < R * C
-    pair_ray = jnp.where(pair_valid, ids // C, 0).astype(jnp.int32)
-    pair_leaf = jnp.where(pair_valid, ids % C, C).astype(jnp.int32)
+    flat = enter.reshape(C * R)
+    (ids,) = jnp.nonzero(flat, size=P, fill_value=C * R)
+    pair_valid = ids < C * R
+    pair_leaf = jnp.where(pair_valid, ids // R, C).astype(jnp.int32)
+    pair_ray = jnp.where(pair_valid, ids % R, 0).astype(jnp.int32)
     overflow = jnp.sum(flat.astype(jnp.int32)) > P
     return pair_ray, pair_leaf, pair_valid, overflow
 
@@ -85,11 +88,11 @@ def build_blocks(pair_ray, pair_leaf, pair_valid, n_clusters):
     P = pair_ray.shape[0]
     B = P // 256 + n_clusters
 
-    key = jnp.where(pair_valid, pair_leaf, jnp.int32(n_clusters))
-    order = jnp.argsort(key, stable=True)
-    leaf_s = key[order]
-    ray_s = pair_ray[order]
-    valid_s = pair_valid[order]
+    # enumerate_pairs emits pairs already grouped by leaf (leaf-major
+    # mask), invalid pairs at the tail (nonzero fill) — no sort needed
+    leaf_s = jnp.where(pair_valid, pair_leaf, jnp.int32(n_clusters))
+    ray_s = pair_ray
+    valid_s = pair_valid
 
     idx = jnp.arange(P, dtype=jnp.int32)
     is_start = jnp.concatenate(
@@ -122,7 +125,7 @@ def build_blocks(pair_ray, pair_leaf, pair_valid, n_clusters):
         .at[block_of, slot]
         .max(valid_s, mode="drop")
     )
-    return block_leaf, slot_ray, slot_valid, block_of, slot, order
+    return block_leaf, slot_ray, slot_valid, block_of, slot, idx
 
 
 def _pairs_kernel(any_hit):
