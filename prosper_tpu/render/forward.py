@@ -75,7 +75,8 @@ def eval_all_lights(surface: dict, lights: dict) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "draw_type", "use_transparent", "alpha_rounds"
+        "width", "height", "draw_type", "use_transparent", "alpha_rounds",
+        "aniso_taps",
     ),
 )
 def render_forward(
@@ -91,6 +92,7 @@ def render_forward(
     draw_type: int = 0,
     use_transparent: bool = False,
     alpha_rounds: int = 0,
+    aniso_taps: int = 1,
 ):
     """One forward frame -> (H, W, 3) display-encoded image."""
     # pixel-center rays (no jitter for the still-frame golden), traced
@@ -139,7 +141,11 @@ def render_forward(
         )
     from .surface import pixel_cone_alpha
 
-    cone = {"alpha": pixel_cone_alpha(cam, height), "bias": 0.0}
+    cone = {
+        "alpha": pixel_cone_alpha(cam, height),
+        "bias": 0.0,
+        "aniso_taps": aniso_taps,
+    }
     surface = evaluate_surface(
         static_scene, frame, arena, o, d, hit, cone=cone
     )

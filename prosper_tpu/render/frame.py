@@ -33,6 +33,7 @@ def _forward_entry(
         static, frame, arena, cam, lut, width, height, exposure, contrast,
         draw_type, use_transparent,
         alpha_rounds=kw.get("alpha_rounds", 0),
+        aniso_taps=kw.get("aniso_taps", 1),
     )
     return img, state
 
