@@ -65,9 +65,13 @@ def enumerate_pairs(wc_min, wc_max, ray_o, ray_d, t_min, t_max):
     lo = jnp.minimum(t0, t1).max(axis=-1)
     hi = jnp.maximum(t0, t1).min(axis=-1)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-    # strict <: disabled rays (t_max = 0, the wavefront convention) whose
-    # stale origin sits inside an AABB (lo == 0) emit no pairs
-    enter = (hi >= jnp.maximum(lo, t_min)) & (lo < t_max_b[None, :])
+    # entry = max(lo, t_min): a hit can only land in [entry, t_max), so
+    # candidates need entry < t_max — in particular disabled rays
+    # (t_max = 0, the wavefront convention) emit NO pairs even when
+    # their stale origin sits inside an AABB (lo < 0), which would
+    # otherwise waste pair capacity on mostly-dead late-bounce chunks
+    entry = jnp.maximum(lo, t_min)
+    enter = (hi >= entry) & (entry < t_max_b[None, :])
 
     P = PAIR_CAP_PER_RAY * R
     flat = enter.reshape(C * R)

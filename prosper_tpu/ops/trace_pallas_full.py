@@ -37,8 +37,11 @@ from .trace_pallas import _moller_block
 ROWS = 40
 TRIS_DTYPE = jnp.float16  # device geometry quantization (Mesh.hpp:11-15
 # parity): trace slabs ship as f16 and dequantize to f32 in VMEM
-# registers — halves geometry HBM + leaf-slab DMA bytes. Set to
-# jnp.float32 for exact-parity debugging.
+# registers — halves geometry HBM + leaf-slab DMA bytes. Scope limits:
+# material ids (row 36) stay exact only <= 2048 (asserted at scene
+# build) and WORLD-space coordinates must stay below f16 max (65504) —
+# for far-from-origin or planetary-scale scenes set jnp.float32. Also
+# the exact-parity debugging switch.
 
 
 def pack_tris_full(static_scene: dict, frame: dict, dtype=None) -> jnp.ndarray:

@@ -238,12 +238,6 @@ def restir_shade(
 
     shadow_o = jnp.where(valid[..., None], surface["position_ws"], 0.0)
     shadow_d = jnp.where(valid[..., None], l, jnp.array([0.0, 0.0, 1.0]))
-    _, any_fn = trace.make_tracer(
-        tris,
-        frame["wc_aabb_min_w"],
-        frame["wc_aabb_max_w"],
-        bvh=trace.frame_bvh(frame),
-    )
     shadow_tmax = jnp.where(valid, dist, 0.0)
     import jax
 
@@ -268,6 +262,14 @@ def restir_shade(
             shadow_tmax,
         )
     else:
+        # built HERE (not unconditionally above) so the TPU path never
+        # traces the packet tracer's per-chunk triangle pack
+        _, any_fn = trace.make_tracer(
+            tris,
+            frame["wc_aabb_min_w"],
+            frame["wc_aabb_max_w"],
+            bvh=trace.frame_bvh(frame),
+        )
         occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
     vis = jnp.where(valid & ~occluded, 1.0, 0.0)
     color = (
@@ -335,7 +337,7 @@ def render_restir(
         py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
     lights = frame["lights"]
     tris = trace.world_triangles(static_scene, frame)
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and trace.frame_bvh(frame) is not None:
         # packed once OUTSIDE the chunk loop (loop bodies don't reliably
         # hoist the transform) for the leaf-major shadow batch
         from ..ops.trace_pallas import pack_tris

@@ -119,6 +119,10 @@ class MaterialTable:
 
 def _build_materials(doc: GltfDocument) -> MaterialTable:
     n = len(doc.materials) + 1
+    # material ids ride the f16 trace-slab arena (trace_pallas_full
+    # TRIS_DTYPE) where integers are exact only up to 2048; the
+    # reference caps materials well below this too
+    assert n <= 2048, f"{n} materials exceed the f16 arena id range"
     mt = MaterialTable(
         base_color_factor=np.ones((n, 4), np.float32),
         metallic_factor=np.ones(n, np.float32),
