@@ -203,3 +203,21 @@ def test_pt_frame_leafmajor_matches_packet():
     np.testing.assert_allclose(
         imgs["leafmajor"], imgs["packet"], rtol=2e-4, atol=2e-5
     )
+
+
+def test_disabled_rays_emit_no_pairs():
+    """Wavefront-disabled rays (t_max = 0) with stale origins INSIDE
+    cluster AABBs must not consume pair capacity (review fix: lo < 0
+    inside a box used to pass the old `lo < t_max` test)."""
+    tris, wc_min, wc_max = _random_scene(n_clusters=6, seed=1)
+    centers = (wc_min + wc_max) / 2
+    R = 64
+    o = np.tile(centers[0][None], (R, 1)).astype(np.float32)  # inside
+    d = np.tile(np.array([[1.0, 0, 0]], np.float32), (R, 1))
+    t_max = jnp.zeros((R,), jnp.float32)
+    _, _, pv, overflow = trace_leafmajor.enumerate_pairs(
+        jnp.asarray(wc_min), jnp.asarray(wc_max),
+        jnp.asarray(o), jnp.asarray(d), 1e-4, t_max,
+    )
+    assert not bool(overflow)
+    assert int(np.asarray(pv).sum()) == 0
