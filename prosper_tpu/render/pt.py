@@ -170,7 +170,13 @@ def pt_trace_pixels(
     # union-visit ~16x what each ray needs. Primary rays stay on the
     # packet BVH kernel (coherent packets amortize perfectly there).
     leafmajor = (
-        BOUNCE_TRACER == "leafmajor" and use_full_kernel and bvh is not None
+        BOUNCE_TRACER == "leafmajor"
+        and use_full_kernel
+        and bvh is not None
+        # the dense pair enumeration is O(rays x clusters): beyond ~4k
+        # clusters fall back to packet traversal (a BVH-descent
+        # enumerator would lift this; ROADMAP)
+        and frame["wc_aabb_min_w"].shape[0] <= 4096
     )
     if leafmajor:
         from ..ops.trace_leafmajor import (

@@ -241,7 +241,11 @@ def restir_shade(
     shadow_tmax = jnp.where(valid, dist, 0.0)
     import jax
 
-    if jax.default_backend() != "cpu" and trace.frame_bvh(frame) is not None:
+    if (
+        jax.default_backend() != "cpu"
+        and trace.frame_bvh(frame) is not None
+        and frame["wc_aabb_min_w"].shape[0] <= 4096
+    ):
         # leaf-major pair blocks: the 1024-random-light shadow batch is
         # the worst packet-coherence case (even sorted by winning light
         # it cost ~69 ms/frame round 2); per-leaf dense blocks test only
@@ -337,7 +341,11 @@ def render_restir(
         py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
     lights = frame["lights"]
     tris = trace.world_triangles(static_scene, frame)
-    if jax.default_backend() != "cpu" and trace.frame_bvh(frame) is not None:
+    if (
+        jax.default_backend() != "cpu"
+        and trace.frame_bvh(frame) is not None
+        and frame["wc_aabb_min_w"].shape[0] <= 4096
+    ):
         # packed once OUTSIDE the chunk loop (loop bodies don't reliably
         # hoist the transform) for the leaf-major shadow batch
         from ..ops.trace_pallas import pack_tris
