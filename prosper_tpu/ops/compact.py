@@ -100,7 +100,12 @@ def tile_apply(mask, fn, inputs, out_like=None, chunk_tiles: int = 512):
             c = jnp.where(
                 lane_ok.reshape((ct * TILE,) + (1,) * (c.ndim - 1)), c, 0
             ).astype(o.dtype)
-            return o.at[slc].add(c.reshape(ct, o.shape[1]))
+            c = c.reshape(ct, o.shape[1])
+            if o.dtype == jnp.bool_:
+                # chunk tiles are disjoint, so max == set; scatter-add
+                # rejects bool
+                return o.at[slc].max(c)
+            return o.at[slc].add(c)
 
         return jax.tree_util.tree_map(scat, outs, c_out)
 

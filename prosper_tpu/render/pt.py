@@ -315,7 +315,7 @@ def pt_trace_pixels(
         return out
 
     def shade_and_bounce(bounce, state, color, throughput, active, ray_o,
-                         ray_d, hit, n_shadow):
+                         ray_d, hit):
         """Shade one wavefront's hits + generate its bounce rays.
 
         `bounce` is the hit's bounce index (0 = primary). Everything is
@@ -371,7 +371,6 @@ def pt_trace_pixels(
             )[inv]
         else:
             occluded = trace_any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
-        n_shadow = n_shadow + jnp.sum(need_shadow.astype(jnp.int32))
         vis = jnp.where(need_shadow & ~occluded, 1.0, 0.0)
         direct = (
             throughput
@@ -464,7 +463,7 @@ def pt_trace_pixels(
             ray_o,
         )
         ray_d = jnp.where(active[..., None], rd, ray_d)
-        return state, color, throughput, active, ray_o, ray_d, n_shadow
+        return state, color, throughput, active, ray_o, ray_d, need_shadow
 
     # ---- dense primary trace over all pixels ----
     lane_real = (
@@ -538,35 +537,29 @@ def pt_trace_pixels(
         c_thr = jnp.ones((CT * TILE, 3), jnp.float32)
         n_extra = jnp.int32(0)
 
-        def bounce_body(b, bc):
-            (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit,
-             n_extra) = bc
-            (c_state, c_color, c_thr, c_active, c_o, c_d,
-             n_extra) = shade_and_bounce(
-                b, c_state, c_color, c_thr, c_active, c_o, c_d, c_hit,
-                n_extra,
+        def bounce_round(b, s, col, thr, act, o_, d_, hit_):
+            """One bounce's shade + trace over ANY lane set (used by the
+            inner per-bounce re-compaction below)."""
+            (s, col, thr, act, o_, d_, need_shadow) = shade_and_bounce(
+                b, s, col, thr, act, o_, d_, hit_
             )
-            c_tmax = jnp.where(c_active, jnp.inf, 0.0)
+            tmax_ = jnp.where(act, jnp.inf, 0.0)
             more = b + 1 < max_bounces
-            n_extra = n_extra + jnp.where(
-                more, jnp.sum(c_active.astype(jnp.int32)), 0
-            )
             if leafmajor:
                 def run_trace(a):
-                    c_state_, c_o_, c_d_, c_tmax_ = a
+                    s_, o2, d2, tm = a
                     h = trace_closest_leafmajor_full(
-                        packed_full, wc_min, wc_max,
-                        c_o_, c_d_, 1e-4, c_tmax_,
+                        packed_full, wc_min, wc_max, o2, d2, 1e-4, tm
                     )
                     if alpha_rounds:
-                        h = alpha_retrace(c_state_, c_o_, c_d_, c_tmax_, h)
+                        h = alpha_retrace(s_, o2, d2, tm, h)
                     return h
 
             elif sort_rays:
                 # bounce rays leave the surface their parent hit: sort by
                 # (that cluster, direction octant) for packet coherence
-                b_cluster = jnp.maximum(c_hit["tri"], 0) // trace.CLUSTER_PAD
-                perm, inv = _sorted(_sort_key(b_cluster, c_d, c_active))
+                b_cluster = jnp.maximum(hit_["tri"], 0) // trace.CLUSTER_PAD
+                perm, inv = _sorted(_sort_key(b_cluster, d_, act))
 
                 def run_trace(a):
                     return trace_with_alpha(*a, perm=perm, inv=inv)
@@ -575,23 +568,73 @@ def pt_trace_pixels(
                 def run_trace(a):
                     return trace_with_alpha(*a)
 
-            c_hit = jax.lax.cond(
+            hit2 = jax.lax.cond(
                 more,
                 run_trace,
-                lambda a: miss_hit_like(c_hit, a[3]),
-                (c_state, c_o, c_d, c_tmax),
+                lambda a: miss_hit_like(hit_, a[3]),
+                (s, o_, d_, tmax_),
             )
             if env is not None:
                 from ..ops.ibl import sample_cubemap
 
-                b_miss = c_active & (c_hit["tri"] < 0) & more
-                sky = c_thr * sample_cubemap(env, c_d)
+                b_miss = act & (hit2["tri"] < 0) & more
+                sky = thr * sample_cubemap(env, d_)
                 sky_contrib = jnp.where(b_miss[..., None], sky, 0.0)
                 if clamp_indirect:
                     # every in-chunk trace is bounce >= 1
                     sky_contrib = jnp.clip(sky_contrib, 0.0, 2.0)
-                c_color = c_color + sky_contrib
-            return (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit,
+                col = col + sky_contrib
+            return s, col, thr, act, o_, d_, hit2, need_shadow
+
+        def bounce_body(b, bc):
+            (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit,
+             n_extra) = bc
+            # per-bounce RE-compaction: the chunk's live set shrinks each
+            # bounce (hits+RR), so later rounds shade/trace only tiles
+            # that still carry active rays. Lanes in skipped tiles keep
+            # their previous state — which is exactly the dense result,
+            # since every update in bounce_round is masked by `act`
+            # (dead lanes' RNG streams differ but are never observed).
+            from ..ops.compact import tile_apply
+
+            def _inner(c_in, lane_ok):
+                s, col, thr, act, o_, d_, hit_ = c_in
+                act = act & lane_ok
+                (s, col, thr, act, o_, d_, hit2, need_shadow) = (
+                    bounce_round(b, s, col, thr, act, o_, d_, hit_)
+                )
+                return {
+                    "state": s, "color": col, "thr": thr, "active": act,
+                    "o": o_, "d": d_, "hit": hit2,
+                    "need_shadow": need_shadow,
+                }
+
+            out = tile_apply(
+                c_active, _inner,
+                (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit),
+                chunk_tiles=128,
+            )
+
+            def mrg(new, old):
+                m = c_active.reshape(
+                    c_active.shape + (1,) * (old.ndim - 1)
+                )
+                return jnp.where(m, new, old)
+
+            c_state = mrg(out["state"], c_state)
+            c_color = mrg(out["color"], c_color)
+            c_thr = mrg(out["thr"], c_thr)
+            new_active = out["active"] & c_active
+            c_o = mrg(out["o"], c_o)
+            c_d = mrg(out["d"], c_d)
+            c_hit = {k: mrg(out["hit"][k], c_hit[k]) for k in c_hit}
+            more = b + 1 < max_bounces
+            n_extra = (
+                n_extra
+                + jnp.sum((out["need_shadow"] & c_active).astype(jnp.int32))
+                + jnp.where(more, jnp.sum(new_active.astype(jnp.int32)), 0)
+            )
+            return (c_state, c_color, c_thr, new_active, c_o, c_d, c_hit,
                     n_extra)
 
         bc = (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit, n_extra)
