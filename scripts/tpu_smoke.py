@@ -210,6 +210,24 @@ def main() -> int:
     )
     check("shade_clustered_tiles", err < 1e-2, f"rel_err={err:.2e}")
 
+    # ---- block16 pixel-order shading path (the deferred fast path) ----
+    from prosper_tpu.ops import trace as _tr
+
+    pxb, pyb, _hp = _tr.block_order_padded(W, H)
+    blk = _tr.rows_to_blocks
+    surface_b = {k: blk(v, W, H) for k, v in surface.items()}
+    got_b = shade_clustered_tiles(
+        surface_b, lights, cam, blk(z_cam, W, H),
+        blk(valid, W, H), W, H, pixel_order="block16",
+    )
+    err_b = float(
+        jnp.max(
+            jnp.abs(_tr.blocks_to_rows(got_b, W, H) - want)
+            / (jnp.abs(want) + 1e-2)
+        )
+    )
+    check("shade_clustered_tiles_block16", err_b < 1e-2, f"rel_err={err_b:.2e}")
+
     # ---- IBL GGX prefilter finiteness (round-1 miscompile class) ----
     from prosper_tpu.ops.ibl import prefilter_radiance
 
