@@ -189,3 +189,26 @@ def test_cli_devices_matches_single(tmp_path):
     b = np.asarray(Image.open(out8)).astype(np.int32)
     # same math, different partitioning: allow 1 ulp of u8 rounding
     assert np.abs(a - b).max() <= 1, np.abs(a - b).max()
+
+
+def test_cli_devices_deferred_matches_single(tmp_path):
+    """--devices 8 deferred (band sharding, froxel-aligned 32-row bands)
+    must produce the single-device image."""
+    import numpy as np
+    from PIL import Image
+
+    from prosper_tpu.app.cli import main
+
+    scene = tmp_path / "tiny.gltf"
+    _write_tiny_gltf(scene)
+    out1 = tmp_path / "single.png"
+    out8 = tmp_path / "mesh8.png"
+    common = [
+        "render", str(scene), "--mode", "deferred", "--width", "64",
+        "--height", "256", "--no-cache",
+    ]
+    assert main(common + ["--out", str(out1)]) == 0
+    assert main(common + ["--out", str(out8), "--devices", "8"]) == 0
+    a = np.asarray(Image.open(out1)).astype(np.int32)
+    b = np.asarray(Image.open(out8)).astype(np.int32)
+    assert np.abs(a - b).max() <= 1, np.abs(a - b).max()
