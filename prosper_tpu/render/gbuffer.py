@@ -186,27 +186,7 @@ def render_gbuffer(
     tris = trace.world_triangles(static_scene, frame)
     use_full = jax.default_backend() != "cpu"
     bvh = trace.frame_bvh(frame)
-    aniso_kernel = False
-    if use_full and aniso_taps > 1 and bvh is not None:
-        # anisotropic filtering needs barycentrics + vertex gathers for
-        # the uv Jacobian, which the fused-attribute hit rows don't
-        # carry: trace with the PLAIN BVH kernel and evaluate the
-        # surface through the gather path (costs the gathers the fused
-        # kernel avoids — the reference's always-on maxAnisotropy=16 is
-        # opt-in here for that reason)
-        from ..ops.trace_bvh import trace_closest_bvh
-        from ..ops.trace_pallas import pack_tris
-
-        packed9 = pack_tris(tris)
-
-        def make_closest(mn, mx, _p9=packed9):
-            from functools import partial
-
-            return partial(trace_closest_bvh, _p9, bvh[0], bvh[1])
-
-        use_full = False
-        aniso_kernel = True
-    elif use_full:
+    if use_full:
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
         packed_full = pack_tris_full(static_scene, frame)
@@ -233,12 +213,6 @@ def render_gbuffer(
         skip on the BVH path, masked (inverted) AABBs on the others."""
         from functools import partial
 
-        if aniso_kernel:
-            from ..ops.trace_bvh import trace_closest_bvh
-
-            return partial(
-                trace_closest_bvh, packed9, bvh[0], bvh[1], skip_mask=mask
-            )
         if use_full and bvh is not None:
             from ..ops.trace_bvh import trace_closest_bvh_full
 
@@ -390,7 +364,10 @@ def render_gbuffer(
         if use_full:
             from .surface import evaluate_surface_from_attrs
 
-            s = evaluate_surface_from_attrs(arena, o_c, d_c, hit_c, cone=cone)
+            s = evaluate_surface_from_attrs(
+                arena, o_c, d_c, hit_c, cone=cone,
+                tris_packed=packed_full,
+            )
         else:
             s = evaluate_surface(
                 static_scene, frame, arena, o_c, d_c, hit_c, cone=cone

@@ -42,17 +42,49 @@ def cone_lod(hit: dict, ray_d, n_ws, cone: dict):
     return hit["tri_lod"] + jnp.log2(width) + cone.get("bias", 0.0)
 
 
+def _aniso_footprint(cone, ray_d, n_ws, t_hit, e1w, e2w, uve1, uve2):
+    """Anisotropic ray-cone footprint (maxAnisotropy=16 sampler parity):
+    minor axis = cone width, major = width / cos(theta) along the
+    in-plane view direction (ratio clamped to 16); the world major axis
+    maps to uv through the triangle's edge Gram solve. Returns
+    (duv_major (R, 2), log2(width_minor))."""
+    cosd = jnp.abs(jnp.sum(ray_d * n_ws, axis=-1))
+    t_safe = jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
+    w_minor = jnp.maximum(t_safe, 1e-6) * cone["alpha"]
+    ratio = jnp.clip(1.0 / jnp.maximum(cosd, 1e-3), 1.0, 16.0)
+    mdir = ray_d - n_ws * jnp.sum(ray_d * n_ws, axis=-1)[..., None]
+    mdir = mdir / jnp.maximum(
+        jnp.linalg.norm(mdir, axis=-1, keepdims=True), 1e-9
+    )
+    vec = mdir * (w_minor * ratio)[..., None]
+    g11 = jnp.sum(e1w * e1w, axis=-1)
+    g12 = jnp.sum(e1w * e2w, axis=-1)
+    g22 = jnp.sum(e2w * e2w, axis=-1)
+    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-20)
+    b1 = jnp.sum(e1w * vec, axis=-1)
+    b2 = jnp.sum(e2w * vec, axis=-1)
+    x = (g22 * b1 - g12 * b2) / det
+    y = (g11 * b2 - g12 * b1) / det
+    duv_major = x[..., None] * uve1 + y[..., None] * uve2
+    return duv_major, jnp.log2(jnp.maximum(w_minor, 1e-8))
+
+
 def evaluate_surface_from_attrs(
     arena: dict,
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
     hit: dict,
     cone: dict | None = None,
+    tris_packed: jnp.ndarray | None = None,
 ):
     """VisibleSurface from the fused hit kernel's interpolated attributes
     (ops/trace_pallas_full.py): zero vertex/instance gathers — only the
     material row + texture quad fetches remain. cone enables ray-cone
-    mip selection (see cone_lod)."""
+    mip selection (see cone_lod); cone["aniso_taps"] > 1 with
+    `tris_packed` (the 40-row arena) additionally gathers the winning
+    triangle's world/uv edges (rows 3:9, 30:36) for the anisotropic
+    footprint — one (R, 12) row gather, so the fused trace kernel keeps
+    its zero-gather hit path."""
     from ..ops.texture import sample_material_packed
 
     n_ws = _normalize(hit["normal"])
@@ -63,9 +95,36 @@ def evaluate_surface_from_attrs(
     position = ray_o + hit["t"][..., None] * ray_d
 
     lod = None
-    if cone is not None and "tri_lod" in hit:
+    duv_major = None
+    aniso_taps = int((cone or {}).get("aniso_taps", 1))
+    if (
+        aniso_taps > 1
+        and cone is not None
+        and tris_packed is not None
+        and "tri_lod" in hit
+    ):
+        C, rows = tris_packed.shape[0], tris_packed.shape[1]
+        tri = jnp.maximum(hit["tri"], 0)
+        base = (tri // 128) * rows * 128 + tri % 128
+        flat = tris_packed.reshape(C * rows * 128)
+        gather_rows = jnp.asarray(
+            [3, 4, 5, 6, 7, 8, 30, 31, 32, 33, 34, 35], tri.dtype
+        )
+        a = flat[base[:, None] + gather_rows[None, :] * 128].astype(
+            jnp.float32
+        )
+        e1w, e2w = a[:, 0:3], a[:, 3:6]
+        uv0, uv1, uv2 = a[:, 6:8], a[:, 8:10], a[:, 10:12]
+        duv_major, lod_minor = _aniso_footprint(
+            cone, ray_d, n_ws, hit["t"], e1w, e2w, uv1 - uv0, uv2 - uv0
+        )
+        lod = hit["tri_lod"] + lod_minor + cone.get("bias", 0.0)
+    elif cone is not None and "tri_lod" in hit:
         lod = cone_lod(hit, ray_d, n_ws, cone)
-    mat = sample_material_packed(arena, material, uv, lod)
+    mat = sample_material_packed(
+        arena, material, uv, lod,
+        duv_major=duv_major, aniso_taps=aniso_taps if lod is not None else 1,
+    )
     has_map = (mat["normal_ts"][..., 0] != -2.0) & (t_sign != 0.0)
     n_mapped = mapped_normal(mat["normal_ts"], n_ws, t_ws, t_sign)
     normal_ws = jnp.where(has_map[..., None], n_mapped, n_ws)
