@@ -386,7 +386,12 @@ def shade_clustered_tiles(
     )
     blocked = pixel_order == "block16"
     if blocked:
-        assert width % 32 == 0 and y_offset == 0
+        assert width % 32 == 0
+        # y_offset is a traced arg under this function's own jit, so it
+        # can only be validated when the caller hands in a concrete
+        # value (the production block16 callers all pass literal 0).
+        if isinstance(y_offset, (int, float)):
+            assert y_offset == 0, "block16 shading requires y_offset == 0"
         chan = to_tiles_from_blocks(packed, width)
     else:
         chan = to_tiles(packed, width, height)

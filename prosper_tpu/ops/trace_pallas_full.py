@@ -35,13 +35,15 @@ from .trace import CLUSTER_PAD, TILE, _pad_rays
 from .trace_pallas import _moller_block
 
 ROWS = 40
-TRIS_DTYPE = jnp.float16  # device geometry quantization (Mesh.hpp:11-15
-# parity): trace slabs ship as f16 and dequantize to f32 in VMEM
-# registers — halves geometry HBM + leaf-slab DMA bytes. Scope limits:
-# material ids (row 36) stay exact only <= 2048 (asserted at scene
-# build) and WORLD-space coordinates must stay below f16 max (65504) —
-# for far-from-origin or planetary-scale scenes set jnp.float32. Also
-# the exact-parity debugging switch.
+TRIS_DTYPE = jnp.float32  # device geometry dtype for the trace slabs.
+# f16 (Mesh.hpp:11-15 parity: f16x4 positions / f16x2 UVs) halves
+# geometry HBM + leaf-slab DMA bytes and works in interpret mode, but
+# the TPU Mosaic dialect REJECTS f16 outright ("Unsupported type in
+# mosaic dialect: 'f16'", measured on v5e in round 4) — so the on-chip
+# default stays f32. bf16 is Mosaic-supported but its 8-bit mantissa
+# (~0.4% relative step) is too coarse for hit-t agreement on unit-scale
+# scenes. If leaf-slab DMA ever dominates an xprof trace, the supported
+# route is i16-bitcast f16 rows with an in-kernel integer decode.
 
 
 def pack_tris_full(static_scene: dict, frame: dict, dtype=None) -> jnp.ndarray:

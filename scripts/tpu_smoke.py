@@ -103,8 +103,12 @@ def main() -> int:
         and bool(jnp.all(jnp.isfinite(jnp.where(sel[:, None], full["normal"], 0.0)))),
     )
 
-    # ---- f16 device-geometry quantization (TRIS_DTYPE default) ----
+    # ---- f16 at-rest geometry quantization. Mosaic rejects f16 refs
+    # in-kernel ("Unsupported type in mosaic dialect: 'f16'", v5e r4),
+    # so quantize at rest and ship the slabs f32: this validates the
+    # Mesh.hpp:11-15 precision budget without f16 inside the kernel.
     packed40h = pack_tris_full(static_dev, frame_dev, dtype=jnp.float16)
+    packed40h = packed40h.astype(jnp.float32)
     fullh = trace_bvh.trace_closest_bvh_full(
         packed40h, bounds, meta, o, d, 1e-4, jnp.inf
     )
