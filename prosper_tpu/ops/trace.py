@@ -65,6 +65,60 @@ def make_tracer(tris: dict, wc_min, wc_max, bvh=None):
     )
 
 
+LEAFMAJOR_MAX_CLUSTERS = 4096  # dense pair enumeration is O(R x C)
+
+
+def bounce_policy(n_clusters: int, bvh, prefer: str) -> bool:
+    """True when incoherent rays should use the leaf-major pair tracer
+    (the decision behind make_bounce_tracer, callable without slabs)."""
+    import jax
+
+    return (
+        prefer == "leafmajor"
+        and jax.default_backend() != "cpu"
+        and bvh is not None
+        and n_clusters <= LEAFMAJOR_MAX_CLUSTERS
+    )
+
+
+def make_bounce_tracer(packed, wc_min, wc_max, bvh, prefer="leafmajor"):
+    """THE policy for incoherent (bounce/shadow) ray tracing — the one
+    decision point for leaf-major pair blocks vs packet BVH traversal
+    (previously three hardcoded gates across render/pt.py and
+    render/restir.py).
+
+    Returns None when callers should use their packet path (CPU backend,
+    no BVH node arrays, cluster count beyond the dense enumerator's
+    O(R x C) range, or prefer="packet"). Otherwise returns a dict:
+      any:          (o, d, t_min, t_max) -> occluded (R,) bool
+      closest_full: same signature -> full attr hit dict, or None when
+                    `packed` has geometry-only rows (< 38)
+    Both are overflow-EXACT: on pair-capacity overflow the wavefront
+    re-traces through the packet BVH kernel inside lax.cond
+    (trace_leafmajor.*_safe), matching the reference's always-exact
+    traversal (res/shader/rt/reference/main.rgen:196-226).
+    """
+    if not bounce_policy(wc_min.shape[0], bvh, prefer):
+        return None
+    from functools import partial as _partial
+
+    from . import trace_leafmajor as lm
+
+    bounds, meta = bvh
+    closest_full = None
+    if packed.shape[1] >= 38:
+        closest_full = _partial(
+            lm.trace_closest_leafmajor_full_safe,
+            packed, bounds, meta, wc_min, wc_max,
+        )
+    return {
+        "any": _partial(
+            lm.trace_any_leafmajor_safe, packed, bounds, meta, wc_min, wc_max
+        ),
+        "closest_full": closest_full,
+    }
+
+
 def frame_bvh(frame: dict):
     """(bounds, meta) from a frame dict, or None when absent."""
     if "bvh_bounds" in frame and "bvh_meta" in frame:

@@ -867,8 +867,10 @@ def _any_body(wide=False):
         t_min = 0.1  # shadow-ray tMin parity (main.rgen shadow())
 
         def get_dma(slot, c):
+            # geometry rows only: accept any slab with rows 0-8 (the
+            # 40-row fused arena included — the scratch is 9 rows)
             return pltpu.make_async_copy(
-                tris_hbm.at[c], tri_slab.at[slot], sems.at[slot]
+                tris_hbm.at[c, 0:ROWS_PLAIN], tri_slab.at[slot], sems.at[slot]
             )
 
         def tile_body(k, _):

@@ -416,6 +416,70 @@ def trace_any_leafmajor(
     return occ, overflow
 
 
+def trace_closest_leafmajor_safe(
+    tris_packed, bvh_bounds, bvh_meta, wc_min, wc_max,
+    ray_o, ray_d, t_min, t_max,
+):
+    """Overflow-exact closest hit: leaf-major pair blocks, with a packet
+    BVH-kernel re-trace of the WHOLE wavefront when the pair capacity
+    overflowed (candidates beyond PAIR_CAP_PER_RAY * R were dropped, so
+    any ray's occluder may be missing). The fallback rides lax.cond, so
+    its cost is only paid on frames that actually overflow; the
+    reference's traversal is exact always (main.rgen:196-226), and so is
+    this."""
+    from .trace_bvh import trace_closest_bvh
+
+    h = trace_closest_leafmajor(
+        tris_packed, wc_min, wc_max, ray_o, ray_d, t_min, t_max
+    )
+    keys = ("t", "tri", "u", "v")
+
+    def fallback(_):
+        hb = trace_closest_bvh(
+            tris_packed, bvh_bounds, bvh_meta, ray_o, ray_d, t_min, t_max
+        )
+        return tuple(hb[k] for k in keys)
+
+    def keep(_):
+        return tuple(h[k] for k in keys)
+
+    out = jax.lax.cond(h["_overflow"], fallback, keep, None)
+    return dict(zip(keys, out))
+
+
+def trace_any_leafmajor_safe(
+    tris_packed, bvh_bounds, bvh_meta, wc_min, wc_max,
+    ray_o, ray_d, t_min, t_max,
+):
+    """Overflow-exact any-hit; see trace_closest_leafmajor_safe."""
+    from .trace_bvh import trace_any_bvh
+
+    occ, overflow = trace_any_leafmajor(
+        tris_packed, wc_min, wc_max, ray_o, ray_d, t_min, t_max
+    )
+    return jax.lax.cond(
+        overflow,
+        lambda _: trace_any_bvh(
+            tris_packed, bvh_bounds, bvh_meta, ray_o, ray_d, t_min, t_max
+        ),
+        lambda _: occ,
+        None,
+    )
+
+
+def trace_closest_leafmajor_full_safe(
+    tris_packed_full, bvh_bounds, bvh_meta, wc_min, wc_max,
+    ray_o, ray_d, t_min, t_max,
+):
+    """Overflow-exact closest hit + attribute interpolation (the
+    trace_closest_bvh_full contract)."""
+    h = trace_closest_leafmajor_safe(
+        tris_packed_full, bvh_bounds, bvh_meta, wc_min, wc_max,
+        ray_o, ray_d, t_min, t_max,
+    )
+    return attrs_from_hit(tris_packed_full, h)
+
+
 def attrs_from_hit(tris_packed_full, hit):
     """Interpolate the fused-kernel attribute set for leaf-major hits:
     one (R, 29) row gather from the 40-row packed arena + the same

@@ -129,6 +129,7 @@ def render_deferred(
     particle_state: dict | None = None,
     alpha_rounds: int = 0,
     aniso_taps: int = 1,
+    frame_index=0,
 ):
     """Deferred frame + optional post chain, in the reference's pass order
     (Renderer.cpp:485-584): skybox -> transparent -> bloom -> particles ->
@@ -235,7 +236,9 @@ def render_deferred(
         # then depth-tested dithered splats
         from ..ops.particles import render_particles, simulate
 
-        st = simulate(particle_state, 1.0 / 60.0, 0)
+        # per-frame pcg stream (simulate.comp parity): the frame index
+        # must advance or spawn/steer noise repeats identically
+        st = simulate(particle_state, 1.0 / 60.0, frame_index)
         depth_img = _b2r(gbuf["depth"]).reshape(height, width)
         hdr = render_particles(st, hdr, depth_img, cam)
         new_particles = st
@@ -349,6 +352,7 @@ def deferred_entry(
         bloom_kernel=bloom_kernel,
         particle_state=particles,
         alpha_rounds=kwargs.get("alpha_rounds", 0),
+        frame_index=kwargs.get("frame_index", 0),
     )
     new_state = {
         "taa_history": aux["taa_history"],

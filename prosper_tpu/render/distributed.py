@@ -128,8 +128,10 @@ def restir_render_sharded(
     from ..ops import trace
 
     n = mesh.shape["sp"]
-    assert height % n == 0, "height must divide the mesh"
-    band_h = height // n
+    # equal bands of ceil(height / n) rows; rows past the real frame
+    # trace below the frustum (invalid G-buffer -> empty reservoirs) and
+    # are cropped after the gather, so any (height, n) combination works
+    band_h = -(-height // n)
     # spatial_reuse offsets are uniformSampleDisk*2R - R, i.e. asymmetric
     # [-3R, +R] px (spatial_reuse.comp:47): neighbors reach up to 3R rows
     # ABOVE a pixel but only R rows below, so the halo from above must be
@@ -198,7 +200,8 @@ def restir_render_sharded(
         tris_r = trace.world_triangles(static_r, frame_r)
         return restir_shade(surface, lights, li1, ucw1, tris_r, frame_r)
 
-    return jax.jit(step)(static_scene, frame, arena, cam)
+    out = jax.jit(step)(static_scene, frame, arena, cam)
+    return out[: height * width]  # crop band padding (rows past the frame)
 
 
 def deferred_render_sharded(
@@ -227,9 +230,15 @@ def deferred_render_sharded(
     from ..ops.clustering import build_light_clusters
 
     n = mesh.shape["sp"]
-    assert height % n == 0, "height must divide the mesh"
-    band_h = height // n
-    assert band_h % 32 == 0, "bands must align to the 32 px froxel tile"
+    # Bands pad UP to the 32 px froxel tile instead of asserting (1080
+    # rows over 8 chips = 135-row bands used to fail here): each chip
+    # renders ceil(height / n) rows rounded to the tile, rows past the
+    # real frame trace harmlessly below the frustum and are cropped
+    # after the gather. full_height stays the REAL height — the froxel
+    # plane math (shade_tiles.build_tile_light_lists tile_scale) must
+    # match the single-chip grid exactly for band == single-chip light
+    # sets.
+    band_h = -(-height // (n * 32)) * 32
 
     @partial(
         jax.shard_map,
@@ -271,7 +280,8 @@ def deferred_render_sharded(
             color = jnp.where(gbuf["valid"][:, None], color, sky)
         return color
 
-    return jax.jit(step)(static_scene, frame, arena, cam)
+    out = jax.jit(step)(static_scene, frame, arena, cam)
+    return out[: height * width]  # crop band padding (rows past the frame)
 
 
 def replicate_to_mesh(tree, mesh: Mesh):

@@ -55,9 +55,14 @@ from .shading import sample_light
 from .surface import evaluate_surface
 
 ROULETTE_START_BOUNCE = 1  # reference UI default (RtReference.hpp)
-BOUNCE_TRACER = "leafmajor"  # "leafmajor" (per-leaf pair blocks) or
-# "packet" (coherence-sorted packet BVH kernel) for bounce/shadow rays;
-# module-level so the A/B scripts can flip it (jax.clear_caches between)
+BOUNCE_TRACER = "packet"  # "packet" (coherence-sorted packet BVH kernel)
+# or "leafmajor" (per-leaf pair blocks) for bounce/shadow rays;
+# module-level so the A/B scripts can flip it (jax.clear_caches between).
+# Packet is the measured default: on v5e (FlightHelmet 1080p live bounce
+# set, scripts/bench_leafmajor.py, round 4) packet traced bounce-closest
+# in 36.5 ms vs leaf-major 514 ms and shadow-any in 7.6 ms vs 502 ms —
+# the dense O(rays x clusters) pair enumeration that feeds the (fast)
+# pair-block Möller stage swamps everything at wavefront scale.
 
 
 def _dot(a, b):
@@ -169,21 +174,17 @@ def pt_trace_pixels(
     # the candidate (ray, leaf) pairs instead of hemisphere packets that
     # union-visit ~16x what each ray needs. Primary rays stay on the
     # packet BVH kernel (coherent packets amortize perfectly there).
-    leafmajor = (
-        BOUNCE_TRACER == "leafmajor"
-        and use_full_kernel
-        and bvh is not None
-        # the dense pair enumeration is O(rays x clusters): beyond ~4k
-        # clusters fall back to packet traversal (a BVH-descent
-        # enumerator would lift this; ROADMAP)
-        and frame["wc_aabb_min_w"].shape[0] <= 4096
-    )
-    if leafmajor:
-        from ..ops.trace_leafmajor import (
-            trace_any_leafmajor,
-            trace_closest_leafmajor_full,
+    # The leafmajor/packet decision lives in ops/trace.make_bounce_tracer
+    # (one policy; overflow-exact via the *_safe packet fallback).
+    bounce_tr = (
+        trace.make_bounce_tracer(
+            packed_full, wc_min, wc_max, bvh, prefer=BOUNCE_TRACER
         )
-
+        if use_full_kernel
+        else None
+    )
+    leafmajor = bounce_tr is not None
+    if leafmajor:
         sort_rays = False  # pair blocks need no ray-order coherence
 
     def alpha_retrace(state, o, d, tmax, hit):
@@ -359,10 +360,7 @@ def pt_trace_pixels(
         shadow_d = jnp.where(need_shadow[..., None], l, ray_d)
         shadow_tmax = jnp.where(need_shadow, dist, 0.0)
         if leafmajor:
-            occluded, _ovf = trace_any_leafmajor(
-                packed_full, wc_min, wc_max,
-                shadow_o, shadow_d, 0.1, shadow_tmax,
-            )
+            occluded = bounce_tr["any"](shadow_o, shadow_d, 0.1, shadow_tmax)
         elif sort_rays:
             s_cluster = jnp.maximum(hit["tri"], 0) // trace.CLUSTER_PAD
             perm, inv = _sorted(_sort_key(s_cluster, shadow_d, need_shadow))
@@ -548,9 +546,7 @@ def pt_trace_pixels(
             if leafmajor:
                 def run_trace(a):
                     s_, o2, d2, tm = a
-                    h = trace_closest_leafmajor_full(
-                        packed_full, wc_min, wc_max, o2, d2, 1e-4, tm
-                    )
+                    h = bounce_tr["closest_full"](o2, d2, 1e-4, tm)
                     if alpha_rounds:
                         h = alpha_retrace(s_, o2, d2, tm, h)
                     return h

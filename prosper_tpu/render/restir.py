@@ -241,30 +241,21 @@ def restir_shade(
     shadow_tmax = jnp.where(valid, dist, 0.0)
     import jax
 
-    if (
-        jax.default_backend() != "cpu"
-        and trace.frame_bvh(frame) is not None
-        and frame["wc_aabb_min_w"].shape[0] <= 4096
-    ):
-        # leaf-major pair blocks: the 1024-random-light shadow batch is
-        # the worst packet-coherence case (even sorted by winning light
-        # it cost ~69 ms/frame round 2); per-leaf dense blocks test only
-        # the candidate (ray, leaf) pairs and need no sorting at all
-        from ..ops.trace_leafmajor import trace_any_leafmajor
+    # leafmajor/packet decision: ops/trace.make_bounce_tracer (the ONE
+    # policy; packet is the measured default — see pt.BOUNCE_TRACER)
+    bounce_tr = None
+    if tris_packed is not None:
+        from .pt import BOUNCE_TRACER
 
-        if tris_packed is None:
-            from ..ops.trace_pallas import pack_tris
-
-            tris_packed = pack_tris(tris)
-        occluded, _ovf = trace_any_leafmajor(
+        bounce_tr = trace.make_bounce_tracer(
             tris_packed,
             frame["wc_aabb_min_w"],
             frame["wc_aabb_max_w"],
-            shadow_o,
-            shadow_d,
-            0.1,
-            shadow_tmax,
+            trace.frame_bvh(frame),
+            prefer=BOUNCE_TRACER,
         )
+    if bounce_tr is not None:
+        occluded = bounce_tr["any"](shadow_o, shadow_d, 0.1, shadow_tmax)
     else:
         # built HERE (not unconditionally above) so the TPU path never
         # traces the packet tracer's per-chunk triangle pack
@@ -274,7 +265,24 @@ def restir_shade(
             frame["wc_aabb_max_w"],
             bvh=trace.frame_bvh(frame),
         )
-        occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
+        if jax.default_backend() != "cpu" and trace.frame_bvh(frame) is not None:
+            # rays toward the SAME light form a convergent cone: sorting
+            # by the winning light id turns the 1024-random-light shadow
+            # batch from worst-case divergent packets into coherent ones
+            # (the permutation is fused into the kernel's ray prep);
+            # measured 69 ms/frame at 1080p round 2
+            key = jnp.where(valid, li, jnp.int32(2**30))
+            perm = jnp.argsort(key)
+            inv = (
+                jnp.zeros_like(perm)
+                .at[perm]
+                .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
+            )
+            occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm)[
+                inv
+            ]
+        else:
+            occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
     vis = jnp.where(valid & ~occluded, 1.0, 0.0)
     color = (
         irr
@@ -341,10 +349,10 @@ def render_restir(
         py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
     lights = frame["lights"]
     tris = trace.world_triangles(static_scene, frame)
-    if (
-        jax.default_backend() != "cpu"
-        and trace.frame_bvh(frame) is not None
-        and frame["wc_aabb_min_w"].shape[0] <= 4096
+    from .pt import BOUNCE_TRACER
+
+    if trace.bounce_policy(
+        frame["wc_aabb_min_w"].shape[0], trace.frame_bvh(frame), BOUNCE_TRACER
     ):
         # packed once OUTSIDE the chunk loop (loop bodies don't reliably
         # hoist the transform) for the leaf-major shadow batch

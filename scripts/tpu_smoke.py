@@ -140,6 +140,54 @@ def main() -> int:
         bool(jnp.all(lm_any == ref_any)) and not bool(lm_ovf),
     )
 
+    # ---- leaf-major over FULL 40-row slabs + attr interpolation ----
+    lmf = trace_leafmajor.trace_closest_leafmajor_full(
+        packed40, wc_min, wc_max, o, d, 1e-4, jnp.inf
+    )
+    check(
+        "trace_closest_leafmajor_full",
+        bool(jnp.all(lmf["tri"] == full["tri"]))
+        and float(
+            jnp.max(
+                jnp.where(
+                    sel[:, None], jnp.abs(lmf["normal"] - full["normal"]), 0.0
+                )
+            )
+        ) < 1e-3,
+    )
+
+    # ---- overflow-safe wrappers (packet fallback inside lax.cond) ----
+    lms = trace_leafmajor.trace_closest_leafmajor_safe(
+        packed9, bounds, meta, wc_min, wc_max, o, d, 1e-4, jnp.inf
+    )
+    lms_any = trace_leafmajor.trace_any_leafmajor_safe(
+        packed40, bounds, meta, wc_min, wc_max, o, d, 0.1, 8.0
+    )
+    check(
+        "leafmajor_safe",
+        bool(jnp.all(lms["tri"] == ref["tri"]))
+        and bool(jnp.all(lms_any == ref_any)),
+    )
+
+    # ---- per-cluster skip mask (culling riding the BVH kernel) ----
+    hit_c = jnp.unique(jnp.where(sel, ref["tri"] // 128, -1), size=4)
+    skip_c = int(hit_c[hit_c >= 0][0])  # skip one cluster rays DO hit
+    mask = jnp.ones((wc_min.shape[0],), jnp.int32).at[skip_c].set(0)
+    masked = trace_bvh.trace_closest_bvh_full(
+        packed40, bounds, meta, o, d, 1e-4, jnp.inf, skip_mask=mask
+    )
+    # masked trace must never report a hit in the skipped cluster, and
+    # must agree with the unmasked trace wherever the winner survives
+    in_skipped = (masked["tri"] >= 0) & (masked["tri"] // 128 == skip_c)
+    keep = sel & (full["tri"] // 128 != skip_c)
+    check(
+        "skip_mask_culling",
+        not bool(jnp.any(in_skipped))
+        and bool(
+            jnp.all(jnp.where(keep, masked["tri"] == full["tri"], True))
+        ),
+    )
+
     # ---- per-ray threaded-BVH walk (experimental; ops/trace_wavefront)
     from prosper_tpu.accel.bvh import pack_threaded
     from prosper_tpu.ops.trace_wavefront import walk_leaves, walk_leaves_ref
@@ -246,5 +294,37 @@ def main() -> int:
     return 1 if FAILURES else 0
 
 
+def _write_artifact(rc, error=None):
+    """TPU_SMOKE.json at the repo root: a driver-independent record of
+    the on-chip gate (VERDICT r3 item 5) captured by the round snapshot
+    even when the 1080p bench cannot run."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "TPU_SMOKE.json",
+    )
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "ok": rc == 0 and error is None,
+                "rc": rc,
+                "failures": FAILURES,
+                "error": error,
+            },
+            f,
+        )
+        f.write("\n")
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        rc = main()
+        _write_artifact(rc)
+    except BaseException as e:  # noqa: BLE001 — the artifact must exist
+        import traceback
+
+        _write_artifact(2, f"{type(e).__name__}: {e}")
+        traceback.print_exc()
+        rc = 2
+    sys.exit(rc)

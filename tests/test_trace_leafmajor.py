@@ -221,3 +221,79 @@ def test_disabled_rays_emit_no_pairs():
     )
     assert not bool(overflow)
     assert int(np.asarray(pv).sum()) == 0
+
+
+def _overlapping_scene(n_clusters=12, seed=5):
+    """All clusters share one spatial region, so every ray through it
+    has n_clusters candidate pairs — with n_clusters > PAIR_CAP_PER_RAY
+    the dense enumerator MUST overflow."""
+    rng = np.random.default_rng(seed)
+    S = n_clusters * trace.CLUSTER_PAD
+    v0 = np.zeros((S, 3), np.float32)
+    e1 = np.zeros((S, 3), np.float32)
+    e2 = np.zeros((S, 3), np.float32)
+    wc_min = np.zeros((n_clusters, 3), np.float32)
+    wc_max = np.zeros((n_clusters, 3), np.float32)
+    for c in range(n_clusters):
+        n_real = 32
+        base = c * trace.CLUSTER_PAD
+        a = rng.normal(0, 1.0, (n_real, 3))
+        b = a + rng.normal(0, 0.4, (n_real, 3))
+        d = a + rng.normal(0, 0.4, (n_real, 3))
+        v0[base : base + n_real] = a
+        e1[base : base + n_real] = b - a
+        e2[base : base + n_real] = d - a
+        pts = np.concatenate([a, b, d])
+        wc_min[c] = pts.min(axis=0)
+        wc_max[c] = pts.max(axis=0)
+    return (
+        {"v0": jnp.asarray(v0), "e1": jnp.asarray(e1), "e2": jnp.asarray(e2)},
+        jnp.asarray(wc_min),
+        jnp.asarray(wc_max),
+    )
+
+
+def test_overflow_safe_exact_agreement():
+    """VERDICT r3 item 3: under pair-capacity overflow the *_safe
+    tracers must re-trace through the packet BVH kernel and stay EXACT
+    (no silently dropped occluders)."""
+    from prosper_tpu.accel.bvh import build_bvh, pack_nodes
+
+    tris, wc_min, wc_max = _overlapping_scene()
+    assert wc_min.shape[0] > trace_leafmajor.PAIR_CAP_PER_RAY
+    o, d = _rays(11, trace.TILE)
+    # aim every ray through the shared cluster region so each has a
+    # full candidate set
+    target = np.asarray((wc_min.min(0) + wc_max.max(0)) / 2.0)
+    dd = target[None, :] - o
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    d = dd.astype(np.float32)
+
+    packed = trace_pallas.pack_tris(tris)
+    bvh = build_bvh(np.asarray(wc_min), np.asarray(wc_max), max_leaf_size=1)
+    bounds, meta = (jnp.asarray(a) for a in pack_nodes(bvh))
+
+    with interpret_mode():
+        raw = trace_leafmajor.trace_closest_leafmajor(
+            packed, wc_min, wc_max,
+            jnp.asarray(o), jnp.asarray(d), 1e-4, np.inf,
+        )
+        assert bool(raw["_overflow"]), "scene failed to force overflow"
+        got = trace_leafmajor.trace_closest_leafmajor_safe(
+            packed, bounds, meta, wc_min, wc_max,
+            jnp.asarray(o), jnp.asarray(d), 1e-4, np.inf,
+        )
+        occ = trace_leafmajor.trace_any_leafmajor_safe(
+            packed, bounds, meta, wc_min, wc_max,
+            jnp.asarray(o), jnp.asarray(d), 1e-4, 4.0,
+        )
+    want_tri, want_t = _brute_force(tris, o, d, 1e-4, np.inf)
+    got_tri = np.asarray(got["tri"])
+    np.testing.assert_array_equal(got_tri < 0, want_tri < 0)
+    sel = want_tri >= 0
+    np.testing.assert_array_equal(got_tri[sel], want_tri[sel])
+    np.testing.assert_allclose(
+        np.asarray(got["t"])[sel], want_t[sel], rtol=1e-5, atol=1e-6
+    )
+    want_occ_tri, _ = _brute_force(tris, o, d, 1e-4, 4.0)
+    np.testing.assert_array_equal(np.asarray(occ), want_occ_tri >= 0)
