@@ -745,13 +745,15 @@ def trace_closest_bvh(
     t_min,
     t_max,
     skip_mask=None,
+    perm=None,
 ):
     """BVH closest-hit; same contract as trace.trace_closest (t_min fixed
     at 1e-4 in-kernel like the round-1 kernels). skip_mask: see
-    trace_closest_bvh_full."""
+    trace_closest_bvh_full. perm: optional ray sort fused into ray prep
+    (results come back in SORTED order)."""
     del t_min
     masked = skip_mask is not None
-    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max)
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if masked else 2,
         grid=(n_steps,),

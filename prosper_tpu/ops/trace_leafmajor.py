@@ -36,10 +36,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .intersect import packet_aabb_overlap_2d
 from .trace_pallas import _moller_block
 
 PAIR_CAP_PER_RAY = 8  # pair-capacity headroom vs the ~3.5 mean
 BLOCKS_PER_STEP = 8  # pair blocks per grid step (DMA ring rides across)
+ENUM_TILE = 256  # rays per enumeration tile (packet-cull granularity)
+VIS_CAP = 128  # candidate clusters per tile (conservative packet hull);
+# overflowing tiles raise the overflow flag -> exact packet re-trace
 _INF = 3e38
 
 
@@ -81,6 +85,142 @@ def enumerate_pairs(wc_min, wc_max, ray_o, ray_d, t_min, t_max):
     pair_ray = jnp.where(pair_valid, ids % R, 0).astype(jnp.int32)
     overflow = jnp.sum(flat.astype(jnp.int32)) > P
     return pair_ray, pair_leaf, pair_valid, overflow
+
+
+def candidate_lists(wc_min, wc_max, ray_o, ray_d, t_min, t_max):
+    """Per-ray candidate-cluster lists via a two-level cull — the round-4
+    replacement for the dense O(R x C) enumeration above, which at
+    wavefront scale (70k rays x 766 clusters) cost ~470 ms in rank-3
+    slab temps + a 53.8M-element nonzero (scripts/bench_leafmajor.py).
+
+    Level 1: rays are grouped into 256-ray tiles; a conservative
+    interval-arithmetic packet-AABB cull (packet_aabb_overlap_2d, (T, C)
+    per-axis temps) bounds each tile's candidate clusters to <= VIS_CAP
+    ids. Level 2: the exact per-ray slab test runs only on
+    (tile, candidate) — O(R x VIS_CAP) — and each ray's first
+    PAIR_CAP_PER_RAY candidate ids are extracted with argmin sweeps
+    (an R*V-element jnp.nonzero scatters at ~9 ns/element = 78 ms;
+    the sweeps are pure VPU reductions).
+
+    Returns (ray_leaf (Rpad, K) i32 ascending cluster ids, C = empty;
+    heavy (Rpad,) bool — rays with MORE than K candidates (their lists
+    are truncated; route them to the packet kernel); tile_overflow —
+    some tile exceeded VIS_CAP candidates, results untrustworthy).
+    Rpad = R rounded up to the 256-ray tile.
+    """
+    R0 = ray_o.shape[0]
+    C = wc_min.shape[0]
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R0,))
+    pad = (-R0) % ENUM_TILE
+    if pad:
+        # padding rays: finite origin (ray 0), zero direction, t_max 0
+        # -> never produce a pair, never widen packet bounds unboundedly
+        ray_o = jnp.concatenate(
+            [ray_o, jnp.broadcast_to(ray_o[:1], (pad, 3))], axis=0
+        )
+        ray_d = jnp.concatenate([ray_d, jnp.zeros((pad, 3), ray_d.dtype)], 0)
+        t_max_b = jnp.concatenate([t_max_b, jnp.zeros((pad,), jnp.float32)])
+    R = ray_o.shape[0]
+    T = R // ENUM_TILE
+    o_t = ray_o.reshape(T, ENUM_TILE, 3)
+    d_t = ray_d.reshape(T, ENUM_TILE, 3)
+    tm_t = t_max_b.reshape(T, ENUM_TILE)
+
+    # ---- level 1: conservative packet cull -> per-tile candidates ----
+    o_lo, o_hi = o_t.min(axis=1), o_t.max(axis=1)
+    d_lo, d_hi = d_t.min(axis=1), d_t.max(axis=1)
+    overlap = packet_aabb_overlap_2d(
+        o_lo, o_hi, d_lo, d_hi, wc_min, wc_max, tm_t.max(axis=1)
+    )  # (T, C) — per-axis temps, see packet_aabb_overlap_2d
+    cand_count = overlap.sum(axis=1).astype(jnp.int32)
+    # candidates first, ascending cluster id within the candidate group
+    order = jnp.argsort(~overlap, axis=1, stable=True)
+    cand = order[:, :VIS_CAP].astype(jnp.int32)  # (T, V), V=min(VIS_CAP,C)
+    V = cand.shape[1]
+    cand_ok = jnp.take_along_axis(overlap, order[:, :V], axis=1)
+    tile_overflow = jnp.any(cand_count > V)
+
+    # ---- level 2: exact per-ray slab test on (tile, ray, candidate) ----
+    cmin = wc_min[cand]  # (T, V, 3)
+    cmax = wc_max[cand]
+    inv_d = jnp.where(jnp.abs(d_t) > 1e-12, 1.0 / d_t, jnp.float32(1e30))
+    lo = jnp.full((T, ENUM_TILE, V), -_INF, jnp.float32)
+    hi = jnp.full((T, ENUM_TILE, V), _INF, jnp.float32)
+    for ax in range(3):  # per-axis: temps stay (T, 256, V), never rank-4
+        t0 = (cmin[:, None, :, ax] - o_t[:, :, None, ax]) * inv_d[:, :, None, ax]
+        t1 = (cmax[:, None, :, ax] - o_t[:, :, None, ax]) * inv_d[:, :, None, ax]
+        lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+        hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+    entry = jnp.maximum(lo, jnp.asarray(t_min, jnp.float32))
+    enter = (
+        (hi >= entry)
+        & (entry < tm_t[:, :, None])
+        & cand_ok[:, None, :]
+    ).reshape(R, V)  # per-ray candidate mask
+
+    # ---- per-ray candidate extraction (no giant nonzero: the scatter
+    # inside an R*V-element jnp.nonzero ran at ~9 ns/element = 78 ms at
+    # wavefront scale; K argmin sweeps are pure VPU reductions) ----
+    K = PAIR_CAP_PER_RAY
+    cand_b = jnp.broadcast_to(
+        cand[:, None, :], (T, ENUM_TILE, V)
+    ).reshape(R, V)
+    keys = jnp.where(enter, cand_b, C)  # candidate CLUSTER id (C = none)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (R, V), 1)
+    ray_leaf = []
+    for _ in range(K):
+        j = jnp.argmin(keys, axis=1)  # smallest remaining candidate id
+        ray_leaf.append(jnp.min(keys, axis=1))
+        keys = jnp.where(slot == j[:, None], C, keys)  # no scatters
+    ray_leaf = jnp.stack(ray_leaf, axis=1)  # (R, K) ascending, C = empty
+    heavy = jnp.min(keys, axis=1) < C  # > K candidates: list truncated
+    # tiles whose candidate count exceeded VIS_CAP dropped clusters
+    # arbitrarily: ALL their rays go heavy (packet kernel), which keeps
+    # the hybrid tracers exact with no global fallback
+    heavy = heavy | jnp.repeat(cand_count > V, ENUM_TILE)
+    return ray_leaf, heavy, tile_overflow
+
+
+def pairs_from_lists(ray_leaf, n_clusters):
+    """(Rpad, K) candidate lists -> leaf-major pair arrays
+    (pair_ray, pair_leaf, pair_valid): ONE argsort of K*Rpad short keys
+    groups pairs by leaf for build_blocks (invalid pairs at the tail)."""
+    R, K = ray_leaf.shape
+    pr = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None], (R, K)
+    ).reshape(-1)
+    pl = ray_leaf.reshape(-1)
+    perm = jnp.argsort(pl, stable=True)
+    pair_leaf = pl[perm]
+    pair_ray = pr[perm]
+    pair_valid = pair_leaf < n_clusters
+    return pair_ray, pair_leaf, pair_valid
+
+
+def enumerate_pairs_tiled(wc_min, wc_max, ray_o, ray_d, t_min, t_max):
+    """Tiled candidate enumeration with the enumerate_pairs contract:
+    (pair_ray, pair_leaf, pair_valid, overflow). overflow covers BOTH
+    per-ray candidate counts beyond PAIR_CAP_PER_RAY and per-tile counts
+    beyond VIS_CAP — callers using this contract (the *_safe wrappers)
+    re-trace through the packet kernel on overflow. The hybrid tracers
+    below handle heavy rays surgically instead."""
+    C = wc_min.shape[0]
+    ray_leaf, heavy, tile_overflow = candidate_lists(
+        wc_min, wc_max, ray_o, ray_d, t_min, t_max
+    )
+    pair_ray, pair_leaf, pair_valid = pairs_from_lists(ray_leaf, C)
+    return pair_ray, pair_leaf, pair_valid, jnp.any(heavy) | tile_overflow
+
+
+ENUM_MODE = "tiled"  # "tiled" (two-level cull) or "dense" (O(R x C))
+
+
+def _enumerate(wc_min, wc_max, ray_o, ray_d, t_min, t_max):
+    if ENUM_MODE == "tiled":
+        return enumerate_pairs_tiled(
+            wc_min, wc_max, ray_o, ray_d, t_min, t_max
+        )
+    return enumerate_pairs(wc_min, wc_max, ray_o, ray_d, t_min, t_max)
 
 
 def build_blocks(pair_ray, pair_leaf, pair_valid, n_clusters):
@@ -333,9 +473,23 @@ def trace_closest_leafmajor(
     Also returns pair overflow under key "_overflow" (diagnostic)."""
     R = ray_o.shape[0]
     C = wc_min.shape[0]
-    pair_ray, pair_leaf, pair_valid, overflow = enumerate_pairs(
+    pair_ray, pair_leaf, pair_valid, overflow = _enumerate(
         wc_min, wc_max, ray_o, ray_d, t_min, t_max
     )
+    hit = _closest_from_pairs(
+        tris_packed, pair_ray, pair_leaf, pair_valid, C, R,
+        ray_o, ray_d, t_min, t_max,
+    )
+    hit["_overflow"] = overflow
+    return hit
+
+
+def _closest_from_pairs(
+    tris_packed, pair_ray, pair_leaf, pair_valid, C, R,
+    ray_o, ray_d, t_min, t_max,
+):
+    """Leaf-major closest hit from a leaf-grouped pair list: pair blocks
+    -> dense Möller -> scatter-min combine. Returns dict(t, tri, u, v)."""
     block_leaf, slot_ray, slot_valid, _, _, _ = build_blocks(
         pair_ray, pair_leaf, pair_valid, C
     )
@@ -380,7 +534,6 @@ def trace_closest_leafmajor(
         "tri": jnp.where(miss, -1, best_tri),
         "u": jnp.maximum(best_u, 0.0),
         "v": jnp.maximum(best_v, 0.0),
-        "_overflow": overflow,
     }
 
 
@@ -398,9 +551,21 @@ def trace_any_leafmajor(
     occluded (+ overflow diagnostic as second value)."""
     R = ray_o.shape[0]
     C = wc_min.shape[0]
-    pair_ray, pair_leaf, pair_valid, overflow = enumerate_pairs(
+    pair_ray, pair_leaf, pair_valid, overflow = _enumerate(
         wc_min, wc_max, ray_o, ray_d, t_min, t_max
     )
+    occ = _any_from_pairs(
+        tris_packed, pair_ray, pair_leaf, pair_valid, C, R,
+        ray_o, ray_d, t_min, t_max,
+    )
+    return occ, overflow
+
+
+def _any_from_pairs(
+    tris_packed, pair_ray, pair_leaf, pair_valid, C, R,
+    ray_o, ray_d, t_min, t_max,
+):
+    """Leaf-major any-hit from a leaf-grouped pair list -> (R,) bool."""
     block_leaf, slot_ray, slot_valid, _, _, _ = build_blocks(
         pair_ray, pair_leaf, pair_valid, C
     )
@@ -413,38 +578,116 @@ def trace_any_leafmajor(
         .at[ray_flat]
         .max(hit_blk.reshape(-1), mode="drop")[:R]
     )
-    return occ, overflow
+    return occ
+
+
+def _heavy_perm(heavy):
+    """Heavy-first stable order + inverse (heavy rays form contiguous
+    leading packets for the packet kernel; stable keeps the caller's
+    spatial coherence within each group)."""
+    R = heavy.shape[0]
+    perm = jnp.argsort(~heavy, stable=True)
+    inv = (
+        jnp.zeros_like(perm)
+        .at[perm]
+        .set(jnp.arange(R, dtype=perm.dtype))
+    )
+    return perm, inv
+
+
+def trace_closest_hybrid(
+    tris_packed, bvh_bounds, bvh_meta, wc_min, wc_max,
+    ray_o, ray_d, t_min, t_max,
+):
+    """Closest hit, hybrid leaf-major/packet (the round-4 production
+    incoherent-ray tracer): rays whose candidate-cluster count fits
+    PAIR_CAP_PER_RAY get exact leaf-major pair blocks (dense Möller over
+    exactly the (ray, leaf) pairs — ~7x less intersection math than
+    packet union visits); rays with MORE candidates ("heavy", the ones
+    where the packet kernel's front-to-back pruning shines) are sorted
+    heavy-first and traced by the packet BVH kernel with everyone else
+    disabled via t_max = 0. Exact always; the only global fallback left
+    is per-tile candidate overflow (> VIS_CAP, see *_safe).
+
+    Returns (hit dict(t, tri, u, v), tile_overflow).
+    """
+    from .trace_bvh import trace_closest_bvh
+
+    R = ray_o.shape[0]
+    C = wc_min.shape[0]
+    ray_leaf, heavy_p, tile_ovf = candidate_lists(
+        wc_min, wc_max, ray_o, ray_d, t_min, t_max
+    )
+    heavy = heavy_p[:R]
+    ray_leaf = jnp.where(heavy_p[:, None], C, ray_leaf)  # light only
+    pair_ray, pair_leaf, pair_valid = pairs_from_lists(ray_leaf, C)
+    h_lm = _closest_from_pairs(
+        tris_packed, pair_ray, pair_leaf, pair_valid, C, R,
+        ray_o, ray_d, t_min, t_max,
+    )
+
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    tmax_h = jnp.where(heavy, t_max_b, 0.0)
+    perm, inv = _heavy_perm(heavy)
+    h_pk = trace_closest_bvh(
+        tris_packed, bvh_bounds, bvh_meta, ray_o, ray_d, t_min, tmax_h,
+        perm=perm,
+    )
+    hit = {
+        k: jnp.where(heavy, h_pk[k][inv], h_lm[k])
+        for k in ("t", "tri", "u", "v")
+    }
+    # packet kernel reports miss as t = t_max; normalize to inf like the
+    # leaf-major contract
+    hit["t"] = jnp.where(hit["tri"] < 0, jnp.inf, hit["t"])
+    return hit, tile_ovf
+
+
+def trace_any_hybrid(
+    tris_packed, bvh_bounds, bvh_meta, wc_min, wc_max,
+    ray_o, ray_d, t_min, t_max,
+):
+    """Any-hit, hybrid leaf-major/packet (see trace_closest_hybrid).
+    Returns (occluded (R,) bool, tile_overflow)."""
+    from .trace_bvh import trace_any_bvh
+
+    R = ray_o.shape[0]
+    C = wc_min.shape[0]
+    ray_leaf, heavy_p, tile_ovf = candidate_lists(
+        wc_min, wc_max, ray_o, ray_d, t_min, t_max
+    )
+    heavy = heavy_p[:R]
+    ray_leaf = jnp.where(heavy_p[:, None], C, ray_leaf)
+    pair_ray, pair_leaf, pair_valid = pairs_from_lists(ray_leaf, C)
+    occ_lm = _any_from_pairs(
+        tris_packed, pair_ray, pair_leaf, pair_valid, C, R,
+        ray_o, ray_d, t_min, t_max,
+    )
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    tmax_h = jnp.where(heavy, t_max_b, 0.0)
+    perm, inv = _heavy_perm(heavy)
+    occ_pk = trace_any_bvh(
+        tris_packed, bvh_bounds, bvh_meta, ray_o, ray_d, t_min, tmax_h,
+        perm=perm,
+    )
+    return jnp.where(heavy, occ_pk[inv], occ_lm), tile_ovf
 
 
 def trace_closest_leafmajor_safe(
     tris_packed, bvh_bounds, bvh_meta, wc_min, wc_max,
     ray_o, ray_d, t_min, t_max,
 ):
-    """Overflow-exact closest hit: leaf-major pair blocks, with a packet
-    BVH-kernel re-trace of the WHOLE wavefront when the pair capacity
-    overflowed (candidates beyond PAIR_CAP_PER_RAY * R were dropped, so
-    any ray's occluder may be missing). The fallback rides lax.cond, so
-    its cost is only paid on frames that actually overflow; the
-    reference's traversal is exact always (main.rgen:196-226), and so is
-    this."""
-    from .trace_bvh import trace_closest_bvh
-
-    h = trace_closest_leafmajor(
-        tris_packed, wc_min, wc_max, ray_o, ray_d, t_min, t_max
+    """Exact closest hit via the HYBRID tracer: per-ray candidate
+    overflow AND per-tile VIS_CAP overflow both route the affected rays
+    to the packet BVH kernel (candidate_lists marks them heavy), so no
+    global fallback is needed; the reference's traversal is exact always
+    (main.rgen:196-226), and so is this. Kept under the _safe name for
+    the make_bounce_tracer contract."""
+    h, _tile_ovf = trace_closest_hybrid(
+        tris_packed, bvh_bounds, bvh_meta, wc_min, wc_max,
+        ray_o, ray_d, t_min, t_max,
     )
-    keys = ("t", "tri", "u", "v")
-
-    def fallback(_):
-        hb = trace_closest_bvh(
-            tris_packed, bvh_bounds, bvh_meta, ray_o, ray_d, t_min, t_max
-        )
-        return tuple(hb[k] for k in keys)
-
-    def keep(_):
-        return tuple(h[k] for k in keys)
-
-    out = jax.lax.cond(h["_overflow"], fallback, keep, None)
-    return dict(zip(keys, out))
+    return {k: h[k] for k in ("t", "tri", "u", "v")}
 
 
 def trace_any_leafmajor_safe(
@@ -452,19 +695,11 @@ def trace_any_leafmajor_safe(
     ray_o, ray_d, t_min, t_max,
 ):
     """Overflow-exact any-hit; see trace_closest_leafmajor_safe."""
-    from .trace_bvh import trace_any_bvh
-
-    occ, overflow = trace_any_leafmajor(
-        tris_packed, wc_min, wc_max, ray_o, ray_d, t_min, t_max
+    occ, _tile_ovf = trace_any_hybrid(
+        tris_packed, bvh_bounds, bvh_meta, wc_min, wc_max,
+        ray_o, ray_d, t_min, t_max,
     )
-    return jax.lax.cond(
-        overflow,
-        lambda _: trace_any_bvh(
-            tris_packed, bvh_bounds, bvh_meta, ray_o, ray_d, t_min, t_max
-        ),
-        lambda _: occ,
-        None,
-    )
+    return occ
 
 
 def trace_closest_leafmajor_full_safe(

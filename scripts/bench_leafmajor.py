@@ -131,6 +131,10 @@ def main():
             lm = lambda: trace_leafmajor.trace_any_leafmajor(  # noqa: E731
                 packed9, wc_min, wc_max, o_raw, d_raw, 0.1, 100.0
             )[0]
+            hy = lambda: trace_leafmajor.trace_any_hybrid(  # noqa: E731
+                packed9, bounds, meta, wc_min, wc_max,
+                o_sorted, d_sorted, 0.1, 100.0,
+            )[0]
             force_pk = lambda x: bool(x[0])  # noqa: E731
             force_lm = lambda x: bool(x[0])  # noqa: E731
         else:
@@ -140,12 +144,17 @@ def main():
             lm = lambda: trace_leafmajor.trace_closest_leafmajor_full(  # noqa: E731
                 packed40, wc_min, wc_max, o_raw, d_raw, 1e-4, jnp.inf
             )
+            hy = lambda: trace_leafmajor.trace_closest_leafmajor_full_safe(  # noqa: E731
+                packed40, bounds, meta, wc_min, wc_max,
+                o_sorted, d_sorted, 1e-4, jnp.inf,
+            )
             force_pk = lambda h: float(h["t"][0])  # noqa: E731
             force_lm = force_pk
 
         for kname, fn, force in (
             ("packet(sorted)", pk, force_pk),
             ("leafmajor", lm, force_lm),
+            ("hybrid(sorted)", hy, force_lm),
         ):
             ops = profile_device_ops(fn, force, top_n=6)
             tot = sum(m for _, m in ops)
