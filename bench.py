@@ -199,6 +199,13 @@ def main() -> int:
         }
         cam_obj = world.make_camera((WIDTH, HEIGHT))
         cam = {k: jnp.asarray(v) for k, v in cam_obj.uniforms().items()}
+        # geometry slabs prepped once like the CLI loop (static BLAS +
+        # per-frame TLAS pacing; ops/trace.prepare_geometry)
+        from prosper_tpu.ops import trace as _trace
+
+        frame_dev["geom"] = _trace.GeometryCache().get(
+            static, frame["transforms"], frame["normal_transforms"]
+        )
         return world, static, arena_dev, frame_dev, cam
 
     ctx = stage("scene_setup")(setup)

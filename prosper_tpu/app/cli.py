@@ -214,6 +214,9 @@ def main(argv: list[str] | None = None) -> int:
         world.static_scene_arrays()["materials"], arena_dev
     )
     lut = jnp.asarray(load_tony_mc_mapface())
+    from ..ops import trace as trace_mod
+
+    geom_cache = trace_mod.GeometryCache()
     # camera jitter rides with TAA like the reference (Renderer.cpp:329-340)
     cam_obj = world.make_camera((args.width, args.height), apply_jitter=args.taa)
 
@@ -365,6 +368,7 @@ def main(argv: list[str] | None = None) -> int:
                         for k, v in world.static_scene_arrays().items()
                     }
                     world.streaming_dirty = False
+                    geom_cache = trace_mod.GeometryCache()  # new arenas
         if args.autofocus:
             # non-stalling depth-pick: poll the readback queued ~a frame
             # ago (TextureReadback / App.cpp:607-631 protocol); the D2H
@@ -383,6 +387,13 @@ def main(argv: list[str] | None = None) -> int:
             for k, v in frame.items()
             if k not in ("scene_camera", "bvh_depth")
         }
+        if mesh is None:
+            # world-space geometry slabs recomputed only on transform
+            # change (static BLAS + per-frame TLAS pacing,
+            # World.cpp:749-802); the sharded path preps per shard
+            frame_dev["geom"] = geom_cache.get(
+                static, frame["transforms"], frame["normal_transforms"]
+            )
         cam = {k: jnp.asarray(v) for k, v in cam_obj.uniforms().items()}
         t0 = time.time()
         img, state = render_fn(

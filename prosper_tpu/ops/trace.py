@@ -29,7 +29,7 @@ TILE = 256  # rays per packet: 2 VPU sublane-rows of 128 lanes
 CLUSTER_PAD = 128  # triangles per cluster slab (scene/meshlets.py)
 
 
-def make_tracer(tris: dict, wc_min, wc_max, bvh=None):
+def make_tracer(tris: dict, wc_min, wc_max, bvh=None, packed9=None):
     """Returns (closest_fn, any_fn) with signature (o, d, t_min, t_max).
 
     On TPU backends the Pallas kernels are used: the in-kernel BVH
@@ -38,6 +38,9 @@ def make_tracer(tris: dict, wc_min, wc_max, bvh=None):
     the flat cull-list kernels (ops/trace_pallas). On CPU the XLA
     reference path runs (Pallas interpret mode is far too slow for full
     frames).
+
+    packed9: optional precomputed (C, 9, 128) Möller slabs
+    (prepare_geometry) so per-frame jits skip the device re-pack.
     """
     import jax
 
@@ -46,7 +49,9 @@ def make_tracer(tris: dict, wc_min, wc_max, bvh=None):
     if jax.default_backend() != "cpu":
         from . import trace_pallas
 
-        packed = trace_pallas.pack_tris(tris)
+        packed = (
+            packed9 if packed9 is not None else trace_pallas.pack_tris(tris)
+        )
         if bvh is not None:
             from . import trace_bvh
 
@@ -63,6 +68,75 @@ def make_tracer(tris: dict, wc_min, wc_max, bvh=None):
         _partial(trace_closest, tris, wc_min, wc_max),
         _partial(trace_any, tris, wc_min, wc_max),
     )
+
+
+def prepare_geometry(static_scene: dict, transforms, normal_transforms):
+    """Device-side world-space geometry prep, hoisted OUT of the frame jits.
+
+    Re-transforming and re-packing every triangle inside each frame's jit
+    is a full BLAS refit per frame — the reference builds BLAS device data
+    once and only rebuilds the instance-level TLAS per frame
+    (/root/reference/src/scene/World.cpp:749-802). Measured on v5e
+    (FlightHelmet, round 4): the in-jit pack costs ~16 ms device per
+    frame across every mode. Callers stash the result at frame["geom"]
+    (see GeometryCache for the recompute-on-transform-change pacing);
+    frame_geometry() falls back to inline computation when absent.
+
+    Returns: {"tris": world-space tri dict} plus, on TPU backends,
+    {"packed9": (C, 9, 128) Möller slabs, "packed_full": (C, 40, 128)
+    attribute slabs}.
+    """
+    frame_like = {
+        "transforms": transforms,
+        "normal_transforms": normal_transforms,
+    }
+    out = {"tris": world_triangles(static_scene, frame_like)}
+    if jax.default_backend() != "cpu":
+        from . import trace_pallas
+        from .trace_pallas_full import pack_tris_full
+
+        out["packed9"] = trace_pallas.pack_tris(out["tris"])
+        out["packed_full"] = pack_tris_full(static_scene, frame_like)
+    return out
+
+
+def frame_geometry(static_scene: dict, frame: dict) -> dict:
+    """frame["geom"] when the caller prepared it, else the inline
+    equivalent (tests/scripts that build raw frame dicts keep working)."""
+    geom = frame.get("geom")
+    if geom is not None:
+        return geom
+    return prepare_geometry(
+        static_scene, frame["transforms"], frame["normal_transforms"]
+    )
+
+
+class GeometryCache:
+    """Host-side pacing for prepare_geometry: recompute only when the
+    instance transforms change (animation), reuse the device arrays
+    otherwise — the TPU analog of static BLAS + per-frame TLAS.
+    """
+
+    def __init__(self):
+        self._jit = jax.jit(prepare_geometry)
+        self._key = None
+        self._val = None
+
+    def get(self, static_dev: dict, transforms, normal_transforms) -> dict:
+        import numpy as np
+
+        key = (
+            np.asarray(transforms).tobytes(),
+            np.asarray(normal_transforms).tobytes(),
+        )
+        if self._val is None or key != self._key:
+            self._val = self._jit(
+                static_dev,
+                jnp.asarray(transforms),
+                jnp.asarray(normal_transforms),
+            )
+            self._key = key
+        return self._val
 
 
 LEAFMAJOR_MAX_CLUSTERS = 4096  # dense pair enumeration is O(R x C)

@@ -107,7 +107,8 @@ def render_forward(
     )
     o, d = pinhole_rays(cam, uv)
 
-    tris = trace.world_triangles(static_scene, frame)
+    geom = trace.frame_geometry(static_scene, frame)
+    tris = geom["tris"]
     if use_transparent:
         # opaque pass excludes blend-material clusters (the draw list's
         # alphaMode filter, draw_list_generator.comp:53-60)
@@ -119,13 +120,16 @@ def render_forward(
             frame["wc_aabb_max_w"],
             ~blend_cluster_mask(static_scene),
         )
-        closest_fn, _ = trace.make_tracer(tris, mn, mx)
+        closest_fn, _ = trace.make_tracer(
+            tris, mn, mx, packed9=geom.get("packed9")
+        )
     else:
         closest_fn, _ = trace.make_tracer(
             tris,
             frame["wc_aabb_min_w"],
             frame["wc_aabb_max_w"],
             bvh=trace.frame_bvh(frame),
+            packed9=geom.get("packed9"),
         )
     hit = closest_fn(o, d, 1e-4, jnp.inf)
     inv16 = jnp.asarray(trace.block_inverse16(width, height))

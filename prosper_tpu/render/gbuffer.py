@@ -183,13 +183,16 @@ def render_gbuffer(
 
     import jax
 
-    tris = trace.world_triangles(static_scene, frame)
+    geom = trace.frame_geometry(static_scene, frame)
+    tris = geom["tris"]
     use_full = jax.default_backend() != "cpu"
     bvh = trace.frame_bvh(frame)
     if use_full:
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
-        packed_full = pack_tris_full(static_scene, frame)
+        packed_full = geom.get("packed_full")
+        if packed_full is None:
+            packed_full = pack_tris_full(static_scene, frame)
         if bvh is not None:
             from ..ops.trace_bvh import trace_closest_bvh_full
 

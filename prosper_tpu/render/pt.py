@@ -55,6 +55,12 @@ from .shading import sample_light
 from .surface import evaluate_surface
 
 ROULETTE_START_BOUNCE = 1  # reference UI default (RtReference.hpp)
+PT_INNER_COMPACT = True  # per-bounce tile re-compaction (A/B flag)
+# stage-isolation knobs for device bisection (scripts only; all True in
+# production)
+PT_DEBUG_SHADOW = True
+PT_DEBUG_BOUNCE = True
+PT_DEBUG_SURFACE = True
 BOUNCE_TRACER = "packet"  # "packet" (coherence-sorted packet BVH kernel)
 # or "leafmajor" (per-leaf pair blocks) for bounce/shadow rays;
 # module-level so the A/B scripts can flip it (jax.clear_caches between).
@@ -136,12 +142,13 @@ def pt_trace_pixels(
     else:
         ray_o, ray_d = pinhole_rays(cam, uv)
 
-    tris = trace.world_triangles(static_scene, frame)
+    geom = trace.frame_geometry(static_scene, frame)
+    tris = geom["tris"]
     wc_min = frame["wc_aabb_min_w"]
     wc_max = frame["wc_aabb_max_w"]
     bvh = trace.frame_bvh(frame)
     trace_closest_fn, trace_any_fn = trace.make_tracer(
-        tris, wc_min, wc_max, bvh=bvh
+        tris, wc_min, wc_max, bvh=bvh, packed9=geom.get("packed9")
     )
     use_full_kernel = jax.default_backend() != "cpu"
     if use_full_kernel:
@@ -151,7 +158,9 @@ def pt_trace_pixels(
 
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
-        packed_full = pack_tris_full(static_scene, frame)
+        packed_full = geom.get("packed_full")
+        if packed_full is None:
+            packed_full = pack_tris_full(static_scene, frame)
         if bvh is not None:
             from ..ops.trace_bvh import trace_closest_bvh_full
 
@@ -324,7 +333,21 @@ def pt_trace_pixels(
         (main.rgen:196-276); see the RNG-parity notes in the docstrings.
         """
         hit_valid = (hit["tri"] >= 0) & active
-        if use_full_kernel:
+        if not PT_DEBUG_SURFACE:
+            R_ = ray_o.shape[0]
+            surface = {
+                "position_ws": ray_o + hit["t"][..., None] * ray_d,
+                "normal_ws": jnp.broadcast_to(
+                    jnp.array([0.0, 1.0, 0.0]), (R_, 3)
+                ),
+                "inv_view_ray": -ray_d,
+                "NoV": jnp.full((R_,), 0.5),
+                "albedo": jnp.full((R_, 3), 0.5),
+                "roughness": jnp.full((R_,), 0.5),
+                "metallic": jnp.zeros((R_,)),
+                "alpha": jnp.ones((R_,)),
+            }
+        elif use_full_kernel:
             from .surface import evaluate_surface_from_attrs
 
             surface = evaluate_surface_from_attrs(arena, ray_o, ray_d, hit)
@@ -359,7 +382,9 @@ def pt_trace_pixels(
         )
         shadow_d = jnp.where(need_shadow[..., None], l, ray_d)
         shadow_tmax = jnp.where(need_shadow, dist, 0.0)
-        if leafmajor:
+        if not PT_DEBUG_SHADOW:
+            occluded = jnp.zeros_like(need_shadow)
+        elif leafmajor:
             occluded = bounce_tr["any"](shadow_o, shadow_d, 0.1, shadow_tmax)
         elif sort_rays:
             s_cluster = jnp.maximum(hit["tri"], 0) // trace.CLUSTER_PAD
@@ -537,43 +562,36 @@ def pt_trace_pixels(
 
         def bounce_round(b, s, col, thr, act, o_, d_, hit_):
             """One bounce's shade + trace over ANY lane set (used by the
-            inner per-bounce re-compaction below)."""
+            inner per-bounce re-compaction below). `b` is a PYTHON int
+            (the bounce loop is unrolled — max_bounces is static), so the
+            trace-or-not decision and the last round's miss are static:
+            no lax.cond staging, and bounce max_bounces-1 traces nothing.
+            """
             (s, col, thr, act, o_, d_, need_shadow) = shade_and_bounce(
                 b, s, col, thr, act, o_, d_, hit_
             )
             tmax_ = jnp.where(act, jnp.inf, 0.0)
             more = b + 1 < max_bounces
-            if leafmajor:
-                def run_trace(a):
-                    s_, o2, d2, tm = a
-                    h = bounce_tr["closest_full"](o2, d2, 1e-4, tm)
-                    if alpha_rounds:
-                        h = alpha_retrace(s_, o2, d2, tm, h)
-                    return h
-
+            if not (more and PT_DEBUG_BOUNCE):
+                hit2 = miss_hit_like(hit_, tmax_)
+            elif leafmajor:
+                hit2 = bounce_tr["closest_full"](o_, d_, 1e-4, tmax_)
+                if alpha_rounds:
+                    hit2 = alpha_retrace(s, o_, d_, tmax_, hit2)
             elif sort_rays:
                 # bounce rays leave the surface their parent hit: sort by
                 # (that cluster, direction octant) for packet coherence
                 b_cluster = jnp.maximum(hit_["tri"], 0) // trace.CLUSTER_PAD
                 perm, inv = _sorted(_sort_key(b_cluster, d_, act))
-
-                def run_trace(a):
-                    return trace_with_alpha(*a, perm=perm, inv=inv)
-
+                hit2 = trace_with_alpha(
+                    s, o_, d_, tmax_, perm=perm, inv=inv
+                )
             else:
-                def run_trace(a):
-                    return trace_with_alpha(*a)
-
-            hit2 = jax.lax.cond(
-                more,
-                run_trace,
-                lambda a: miss_hit_like(hit_, a[3]),
-                (s, o_, d_, tmax_),
-            )
-            if env is not None:
+                hit2 = trace_with_alpha(s, o_, d_, tmax_)
+            if env is not None and more:
                 from ..ops.ibl import sample_cubemap
 
-                b_miss = act & (hit2["tri"] < 0) & more
+                b_miss = act & (hit2["tri"] < 0)
                 sky = thr * sample_cubemap(env, d_)
                 sky_contrib = jnp.where(b_miss[..., None], sky, 0.0)
                 if clamp_indirect:
@@ -605,11 +623,17 @@ def pt_trace_pixels(
                     "need_shadow": need_shadow,
                 }
 
-            out = tile_apply(
-                c_active, _inner,
-                (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit),
-                chunk_tiles=128,
-            )
+            if PT_INNER_COMPACT:
+                out = tile_apply(
+                    c_active, _inner,
+                    (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit),
+                    chunk_tiles=128,
+                )
+            else:
+                out = _inner(
+                    (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit),
+                    jnp.ones_like(c_active),
+                )
 
             def mrg(new, old):
                 m = c_active.reshape(
@@ -625,16 +649,22 @@ def pt_trace_pixels(
             c_d = mrg(out["d"], c_d)
             c_hit = {k: mrg(out["hit"][k], c_hit[k]) for k in c_hit}
             more = b + 1 < max_bounces
-            n_extra = (
-                n_extra
-                + jnp.sum((out["need_shadow"] & c_active).astype(jnp.int32))
-                + jnp.where(more, jnp.sum(new_active.astype(jnp.int32)), 0)
+            n_extra = n_extra + jnp.sum(
+                (out["need_shadow"] & c_active).astype(jnp.int32)
             )
+            if more:
+                n_extra = n_extra + jnp.sum(new_active.astype(jnp.int32))
             return (c_state, c_color, c_thr, new_active, c_o, c_d, c_hit,
                     n_extra)
 
+        # UNROLLED bounce loop (max_bounces is static): a lax.fori_loop
+        # here materializes its ~17 MB carry tuple (state/o/d/thr/16-ch
+        # hit) at every iteration boundary and forces a lax.cond around
+        # the trace; unrolled, XLA fuses across bounces and the last
+        # round's trace disappears statically.
         bc = (c_state, c_color, c_thr, c_active, c_o, c_d, c_hit, n_extra)
-        bc = jax.lax.fori_loop(0, max_bounces, bounce_body, bc, unroll=1)
+        for b in range(max_bounces):
+            bc = bounce_body(b, bc)
         c_color, n_extra = bc[1], bc[7]
 
         c_color = jnp.where(lane_ok[..., None], c_color, 0.0)

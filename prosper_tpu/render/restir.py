@@ -264,6 +264,7 @@ def restir_shade(
             frame["wc_aabb_min_w"],
             frame["wc_aabb_max_w"],
             bvh=trace.frame_bvh(frame),
+            packed9=(frame.get("geom") or {}).get("packed9"),
         )
         if jax.default_backend() != "cpu" and trace.frame_bvh(frame) is not None:
             # rays toward the SAME light form a convergent cone: sorting
@@ -348,7 +349,8 @@ def render_restir(
         px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
         py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
     lights = frame["lights"]
-    tris = trace.world_triangles(static_scene, frame)
+    geom = trace.frame_geometry(static_scene, frame)
+    tris = geom["tris"]
     from .pt import BOUNCE_TRACER
 
     if trace.bounce_policy(
@@ -358,7 +360,9 @@ def render_restir(
         # hoist the transform) for the leaf-major shadow batch
         from ..ops.trace_pallas import pack_tris
 
-        tris_packed = pack_tris(tris)
+        tris_packed = geom.get("packed9")
+        if tris_packed is None:
+            tris_packed = pack_tris(tris)
     else:
         tris_packed = None
 

@@ -57,12 +57,15 @@ def transparent_pass(
     mn, mx = _masked_aabbs(
         frame["wc_aabb_min_w"], frame["wc_aabb_max_w"], mask
     )
-    tris = trace.world_triangles(static_scene, frame)
+    geom = trace.frame_geometry(static_scene, frame)
+    tris = geom["tris"]
     use_full = jax.default_backend() != "cpu"
     if use_full:
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
-        packed_full = pack_tris_full(static_scene, frame)
+        packed_full = geom.get("packed_full")
+        if packed_full is None:
+            packed_full = pack_tris_full(static_scene, frame)
         hit = trace_closest_full(packed_full, mn, mx, o, d, 1e-4, jnp.inf)
         from .surface import evaluate_surface_from_attrs, pixel_cone_alpha
 

@@ -69,6 +69,9 @@ def main():
         k: jnp.asarray(v)
         for k, v in world.make_camera((WIDTH, HEIGHT)).uniforms().items()
     }
+    fd["geom"] = trace.GeometryCache().get(
+        static, frame["transforms"], frame["normal_transforms"]
+    )
 
     # full frame + ray count
     def frame_fn():

@@ -53,6 +53,11 @@ def main():
     }
     cam_obj = world.make_camera((WIDTH, HEIGHT))
     cam = {k: jnp.asarray(v) for k, v in cam_obj.uniforms().items()}
+    from prosper_tpu.ops import trace as _trace
+
+    frame_dev["geom"] = _trace.GeometryCache().get(
+        static, frame["transforms"], frame["normal_transforms"]
+    )
 
     def fn():
         color, n_rays = pt_render_sample(
