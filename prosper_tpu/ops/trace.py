@@ -139,6 +139,14 @@ class GeometryCache:
         return self._val
 
 
+BOUNCE_TILE = 128  # rays/packet for INCOHERENT bounce-closest traces.
+# Packet union-visit waste scales with packet size (FlightHelmet bounce
+# set, scripts/visit_union_analysis.py: 41 leaf visits per 256-ray
+# packet vs 26.8 per 128 vs a 2.6/ray ideal). Measured on v5e: bounce
+# closest 37.1 -> 30.2 ms at tile=128; SHADOW rays stay at 256 — they
+# converge on one light so packets are coherent and halving them only
+# doubles descent work (10.6 -> 12.6 ms). Primary rays keep 256.
+
 LEAFMAJOR_MAX_CLUSTERS = 4096  # dense pair enumeration is O(R x C)
 
 

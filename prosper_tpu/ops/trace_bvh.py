@@ -76,17 +76,22 @@ _INF = 3e38  # python float: jnp constants would be captured by kernels
 _NROWS = TILE // 128  # ray rows in (NROWS, 128) layout
 
 
-def _prep_bvh(ray_o, ray_d, t_max, perm=None):
-    """Pad rays to TILES_PER_STEP*TILE multiples and build per-tile
+def _prep_bvh(ray_o, ray_d, t_max, perm=None, tile=TILE):
+    """Pad rays to TILES_PER_STEP*tile multiples and build per-tile
     column + row data. `perm` applies a ray permutation with ONE fused
     (R, 7) row gather (callers sorting rays for packet coherence would
     otherwise pay 3-4 separate gathers).
 
-    Returns (R, R_out, n_steps, o_col, d_col, tmax_col, rowdata) where
-    rowdata is (T, 16, 128) f32 with row pairs:
-      0-1 ox | 2-3 oy | 4-5 oz | 6-7 inv_dx | 8-9 inv_dy | 10-11 inv_dz |
-      12-13 tmax | 14-15 pad.
+    tile: rays per packet — 256 (default) for coherent sets, 128 for
+    incoherent bounce/shadow wavefronts (union-visit waste scales with
+    packet size: measured u(256)=41 vs u(128)=26.8 leaf visits on the
+    FlightHelmet bounce set, scripts/visit_union_analysis.py).
+
+    Returns (R, R_out, n_steps, cols, rowdata) where rowdata is
+    (T, 8*nrows, 128) f32 with nrows=tile//128 rows per channel in order
+    ox | oy | oz | inv_dx | inv_dy | inv_dz | tmax | pad.
     """
+    nrows = tile // 128
     t_max_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
     if perm is not None:
         feat0 = jnp.concatenate(
@@ -96,19 +101,19 @@ def _prep_bvh(ray_o, ray_d, t_max, perm=None):
         ray_d = feat0[:, 3:6]
         t_max_full = feat0[:, 6]
     ray_o, ray_d, R_out = _pad_rays(ray_o, ray_d)
-    pad2 = (-ray_o.shape[0]) % (TILES_PER_STEP * TILE)
+    pad2 = (-ray_o.shape[0]) % (TILES_PER_STEP * tile)
     if pad2:
         ray_o = jnp.concatenate(
             [ray_o, jnp.broadcast_to(ray_o[:1], (pad2, 3))], axis=0
         )
         ray_d = jnp.concatenate([ray_d, jnp.zeros((pad2, 3), ray_d.dtype)], 0)
     R = ray_o.shape[0]
-    n_tiles = R // TILE
-    o_col = ray_o.reshape(n_tiles, TILE, 3)
-    d_col = ray_d.reshape(n_tiles, TILE, 3)
+    n_tiles = R // tile
+    o_col = ray_o.reshape(n_tiles, tile, 3)
+    d_col = ray_d.reshape(n_tiles, tile, 3)
     tmax = jnp.concatenate(
         [t_max_full, jnp.zeros((R - R_out,), jnp.float32)]
-    ).reshape(n_tiles, TILE)
+    ).reshape(n_tiles, tile)
 
     # robust slab-test reciprocal: near-parallel axes behave as
     # "inside-slab passes, outside misses" (see node test below)
@@ -116,28 +121,29 @@ def _prep_bvh(ray_o, ray_d, t_max, perm=None):
     feat = jnp.concatenate(
         [o_col, inv_d, tmax[:, :, None], jnp.zeros_like(tmax)[:, :, None]],
         axis=-1,
-    )  # (T, TILE, 8)
-    # one transpose -> (T, 8, TILE) -> (T, 16, 128) in [c, half] row order
-    rowdata = feat.transpose(0, 2, 1).reshape(n_tiles, 16, 128)
-    # column data channel-major (T, 8, TILE): HBM rows are contiguous
-    # 1 KB runs (a (T,TILE,8) layout is tiled T(8,128) -> every 32 B row
+    )  # (T, tile, 8)
+    # one transpose -> (T, 8, tile) -> (T, 8*nrows, 128): channel c
+    # occupies rows [c*nrows, (c+1)*nrows)
+    rowdata = feat.transpose(0, 2, 1).reshape(n_tiles, 8 * nrows, 128)
+    # column data channel-major (T, 8, tile): HBM rows are contiguous
+    # 1 KB runs (a (T,tile,8) layout is tiled T(8,128) -> every 32 B row
     # is strided and the per-step DMAs run at ~5% bandwidth); the kernel
-    # transposes each tile's (8,TILE) block back to ray columns once
+    # transposes each tile's (8,tile) block back to ray columns once
     cols = jnp.concatenate(
         [o_col, d_col, tmax[:, :, None], jnp.zeros_like(tmax)[:, :, None]],
         axis=-1,
-    ).transpose(0, 2, 1)  # (T, 8, TILE)
+    ).transpose(0, 2, 1)  # (T, 8, tile)
     return R, R_out, n_tiles // TILES_PER_STEP, cols, rowdata
 
 
-def _row_min(t_block):
-    """(TILE, 128) -> (NROWS, 128) per-ray lane reduction (free major
+def _row_min(t_block, nrows=_NROWS):
+    """(tile, 128) -> (nrows, 128) per-ray lane reduction (free major
     split: ray r maps to [r // 128, r % 128])."""
-    return jnp.min(t_block.reshape(_NROWS, 128, 128), axis=-1)
+    return jnp.min(t_block.reshape(nrows, 128, 128), axis=-1)
 
 
 def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
-                  mask_ref=None):
+                  mask_ref=None, nrows=_NROWS):
     """Build the find_leaf closure over ray tile k's rows.
 
     find_leaf(sp, ub_row, worst) pops the stack until a leaf whose AABB
@@ -149,12 +155,12 @@ def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
     leaves are skipped without a slab DMA — the two-phase meshlet cull's
     draw-list analog riding the BVH kernel (draw_list_culler.comp).
     """
-    oxr = row_ref[k, 0:_NROWS, :]
-    oyr = row_ref[k, 2:2 + _NROWS, :]
-    ozr = row_ref[k, 4:4 + _NROWS, :]
-    ixr = row_ref[k, 6:6 + _NROWS, :]
-    iyr = row_ref[k, 8:8 + _NROWS, :]
-    izr = row_ref[k, 10:10 + _NROWS, :]
+    oxr = row_ref[k, 0:nrows, :]
+    oyr = row_ref[k, nrows:2 * nrows, :]
+    ozr = row_ref[k, 2 * nrows:3 * nrows, :]
+    ixr = row_ref[k, 3 * nrows:4 * nrows, :]
+    iyr = row_ref[k, 4 * nrows:5 * nrows, :]
+    izr = row_ref[k, 5 * nrows:6 * nrows, :]
 
     def node_enter(i, ub_row):
         """Per-ray slab test of node i: min entry over passing rays
@@ -394,12 +400,15 @@ def _make_descent8(nodes_ref, row_ref, kstack, cstack, cursors, k):
     return init_root, find_leaf
 
 
-def _closest_body(fused, wide=False, masked=False):
+def _closest_body(fused, wide=False, masked=False, tile=TILE):
     """Kernel body shared by the plain and fused closest-hit variants.
     Processes TILES_PER_STEP ray tiles per grid step. wide=True uses the
     8-wide descent over a pack_nodes8 table instead of BVH2 SMEM scalars.
     masked=True takes a per-cluster visibility prefetch array (BVH2
-    only): culled leaves are skipped in-kernel."""
+    only): culled leaves are skipped in-kernel. tile: rays per packet
+    (BVH2 only; 128 for incoherent wavefronts — see _prep_bvh)."""
+    nrows = tile // 128
+    assert wide is False or tile == TILE, "wide descent is 256-ray only"
 
     def kernel(*args):
         mask_ref = None
@@ -422,7 +431,7 @@ def _closest_body(fused, wide=False, masked=False):
         else:
             (out, tri_slab, stack_idx, stack_enter, pend, sems) = rest
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
         t_min = 1e-4
 
         def get_dma(slot, c):
@@ -434,7 +443,7 @@ def _closest_body(fused, wide=False, masked=False):
             )
 
         def tile_body(k, _):
-            colsT = jnp.transpose(cols_ref[k], (1, 0))  # (TILE, 8)
+            colsT = jnp.transpose(cols_ref[k], (1, 0))  # (tile, 8)
             ox = colsT[:, 0:1]
             oy = colsT[:, 1:2]
             oz = colsT[:, 2:3]
@@ -442,7 +451,7 @@ def _closest_body(fused, wide=False, masked=False):
             dy = colsT[:, 4:5]
             dz = colsT[:, 5:6]
 
-            best_row0 = row_ref[k, 12:12 + _NROWS, :]  # tmax rows
+            best_row0 = row_ref[k, 6 * nrows:7 * nrows, :]  # tmax rows
             if wide:
                 init_root, find_leaf = _make_descent8(
                     nodes_ref, row_ref, kstack, cstack, cursors, k
@@ -452,7 +461,7 @@ def _closest_body(fused, wide=False, masked=False):
             else:
                 find_leaf = _make_descent(
                     bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
-                    mask_ref=mask_ref,
+                    mask_ref=mask_ref, nrows=nrows,
                 )
                 # push root
                 stack_idx[0, 0] = jnp.int32(0)
@@ -463,7 +472,7 @@ def _closest_body(fused, wide=False, masked=False):
 
             def run_pipeline():
                 if fused:
-                    attr_scr[...] = jnp.zeros((TILE, 12), jnp.float32)
+                    attr_scr[...] = jnp.zeros((tile, 12), jnp.float32)
                 # prime the slab ring: descend up to DMA_DEPTH-1 leaves
                 # ahead before the first Moller so every wait has ~3
                 # visits of issued-ahead DMA behind it
@@ -528,10 +537,10 @@ def _closest_body(fused, wide=False, masked=False):
                     slab = tri_slab[slot].astype(jnp.float32)
 
                     if DEBUG_NO_MOLLER or DEBUG_NO_DMA:
-                        hit = jnp.zeros((TILE, 128), jnp.bool_)
-                        t = jnp.full((TILE, 128), _INF, jnp.float32)
-                        u = jnp.zeros((TILE, 128), jnp.float32)
-                        v = jnp.zeros((TILE, 128), jnp.float32)
+                        hit = jnp.zeros((tile, 128), jnp.bool_)
+                        t = jnp.full((tile, 128), _INF, jnp.float32)
+                        u = jnp.zeros((tile, 128), jnp.float32)
+                        v = jnp.zeros((tile, 128), jnp.float32)
                     elif ISECT_BLOCK == "plucker":
                         from .trace_plucker import (
                             _plucker_block,
@@ -595,7 +604,7 @@ def _closest_body(fused, wide=False, masked=False):
                                 + [
                                     mat_row,
                                     lod_row,
-                                    jnp.zeros((TILE, 1), jnp.float32),
+                                    jnp.zeros((tile, 1), jnp.float32),
                                 ],
                                 axis=1,
                             )
@@ -617,7 +626,7 @@ def _closest_body(fused, wide=False, masked=False):
                         improved, cur * CLUSTER_PAD + j, best_tri
                     )
                     best_t = jnp.where(improved, tmin, best_t)
-                    best_row = jnp.minimum(best_row, _row_min(t))
+                    best_row = jnp.minimum(best_row, _row_min(t, nrows))
                     if fused:
                         return (j_ + 1, n, sp, best_t, best_row, best_tri)
                     return (
@@ -631,7 +640,7 @@ def _closest_body(fused, wide=False, masked=False):
                     spp,
                     colsT[:, 6:7],
                     best_row0,
-                    jnp.full((TILE, 1), -1, jnp.int32),
+                    jnp.full((tile, 1), -1, jnp.int32),
                 )
                 # tri ids ride as exact f32 (< 2^24 triangles; packed
                 # single-output keeps VMEM block count down)
@@ -644,7 +653,7 @@ def _closest_body(fused, wide=False, masked=False):
                                 best_t,
                                 best_tri.astype(jnp.float32),
                                 attr_scr[...],
-                                jnp.zeros((TILE, 2), jnp.float32),
+                                jnp.zeros((tile, 2), jnp.float32),
                             ],
                             axis=1,
                         ),
@@ -652,18 +661,18 @@ def _closest_body(fused, wide=False, masked=False):
                     )
                 else:
                     init = init_common + (
-                        jnp.zeros((TILE, 1), jnp.float32),
-                        jnp.zeros((TILE, 1), jnp.float32),
+                        jnp.zeros((tile, 1), jnp.float32),
+                        jnp.zeros((tile, 1), jnp.float32),
                     )
                     state = jax.lax.while_loop(cond, body, init)
                     j_, _, _, best_t, _, best_tri, best_u, best_v = state
-                    pad_rows = jnp.zeros((TILE, 4), jnp.float32)
+                    pad_rows = jnp.zeros((tile, 4), jnp.float32)
                     if DEBUG_VISITS:
                         pad_rows = jnp.concatenate(
                             [
-                                jnp.zeros((TILE, 3), jnp.float32),
+                                jnp.zeros((tile, 3), jnp.float32),
                                 jnp.full(
-                                    (TILE, 1), 1.0, jnp.float32
+                                    (tile, 1), 1.0, jnp.float32
                                 ) * j_.astype(jnp.float32),
                             ],
                             axis=1,
@@ -691,9 +700,9 @@ def _closest_body(fused, wide=False, masked=False):
                     jnp.concatenate(
                         [
                             colsT[:, 6:7],
-                            jnp.full((TILE, 1), -1.0, jnp.float32),
+                            jnp.full((tile, 1), -1.0, jnp.float32),
                             jnp.zeros(
-                                (TILE, 14 if fused else 6), jnp.float32
+                                (tile, 14 if fused else 6), jnp.float32
                             ),
                         ],
                         axis=1,
@@ -717,25 +726,26 @@ def _closest_body(fused, wide=False, masked=False):
     return kernel
 
 
-def _in_specs():
+def _in_specs(tile=TILE):
     K = TILES_PER_STEP
+    nrows = tile // 128
     return [
-        pl.BlockSpec((K, 8, TILE), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, 16, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 8, tile), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 8 * nrows, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
 
 
-def _out_block(width=1):
-    # channel-major (K, ch, TILE): lane-dense output rows
+def _out_block(width=1, tile=TILE):
+    # channel-major (K, ch, tile): lane-dense output rows
     return pl.BlockSpec(
-        (TILES_PER_STEP, width, TILE),
+        (TILES_PER_STEP, width, tile),
         lambda i, *_: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("tile",))
 def trace_closest_bvh(
     tris_packed: jnp.ndarray,  # (C, 9, 128)
     bounds: jnp.ndarray,  # (N, 6) f32
@@ -746,6 +756,7 @@ def trace_closest_bvh(
     t_max,
     skip_mask=None,
     perm=None,
+    tile: int = TILE,
 ):
     """BVH closest-hit; same contract as trace.trace_closest (t_min fixed
     at 1e-4 in-kernel like the round-1 kernels). skip_mask: see
@@ -753,12 +764,14 @@ def trace_closest_bvh(
     (results come back in SORTED order)."""
     del t_min
     masked = skip_mask is not None
-    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(
+        ray_o, ray_d, t_max, perm, tile=tile
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if masked else 2,
         grid=(n_steps,),
-        in_specs=_in_specs(),
-        out_specs=[_out_block(8)],
+        in_specs=_in_specs(tile),
+        out_specs=[_out_block(8, tile)],
         scratch_shapes=[
             pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
@@ -772,10 +785,10 @@ def trace_closest_bvh(
     if masked:
         prefetch.append(skip_mask.astype(jnp.int32).reshape(1, -1))
     (out,) = pl.pallas_call(
-        _closest_body(fused=False, masked=masked),
+        _closest_body(fused=False, masked=masked, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 8, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, tile), jnp.float32),
         ],
     )(*prefetch, cols, rowdata, tris_packed)
     out = out.transpose(0, 2, 1).reshape(R, 8)[:R_out]
@@ -787,7 +800,7 @@ def trace_closest_bvh(
     }
 
 
-@partial(jax.jit, static_argnames=("packed",))
+@partial(jax.jit, static_argnames=("packed", "tile"))
 def trace_closest_bvh_full(
     tris_packed: jnp.ndarray,  # (C, 40, 128)
     bounds: jnp.ndarray,
@@ -799,6 +812,7 @@ def trace_closest_bvh_full(
     perm=None,
     packed: bool = False,
     skip_mask=None,
+    tile: int = TILE,
 ):
     """BVH closest-hit + fused world-space attribute interpolation; same
     contract as ops/trace_pallas_full.trace_closest_full.
@@ -812,18 +826,20 @@ def trace_closest_bvh_full(
     """
     del t_min
     masked = skip_mask is not None
-    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(
+        ray_o, ray_d, t_max, perm, tile=tile
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if masked else 2,
         grid=(n_steps,),
-        in_specs=_in_specs(),
-        out_specs=[_out_block(16)],
+        in_specs=_in_specs(tile),
+        out_specs=[_out_block(16, tile)],
         scratch_shapes=[
             pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
             pltpu.SMEM((1, STACK_CAP), jnp.float32),
-            pltpu.VMEM((TILE, 12), jnp.float32),
+            pltpu.VMEM((tile, 12), jnp.float32),
             pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
             pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
         ],
@@ -833,10 +849,10 @@ def trace_closest_bvh_full(
     if masked:
         prefetch.append(skip_mask.astype(jnp.int32).reshape(1, -1))
     (out,) = pl.pallas_call(
-        _closest_body(fused=True, masked=masked),
+        _closest_body(fused=True, masked=masked, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 16, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 16, tile), jnp.float32),
         ],
     )(*prefetch, cols, rowdata, tris_packed)
     out = out.transpose(0, 2, 1).reshape(R, 16)[:R_out]
@@ -858,7 +874,10 @@ def unpack_hit16(out):
     }
 
 
-def _any_body(wide=False):
+def _any_body(wide=False, tile=TILE):
+    nrows = tile // 128
+    assert wide is False or tile == TILE, "wide descent is 256-ray only"
+
     def kernel(*args):
         if wide:
             (nodes_ref, cols_ref, row_ref, tris_hbm, occ_out, tri_slab,
@@ -876,7 +895,7 @@ def _any_body(wide=False):
             )
 
         def tile_body(k, _):
-            colsT = jnp.transpose(cols_ref[k], (1, 0))  # (TILE, 8)
+            colsT = jnp.transpose(cols_ref[k], (1, 0))  # (tile, 8)
             ox = colsT[:, 0:1]
             oy = colsT[:, 1:2]
             oz = colsT[:, 2:3]
@@ -884,7 +903,7 @@ def _any_body(wide=False):
             dy = colsT[:, 4:5]
             dz = colsT[:, 5:6]
             tmax = colsT[:, 6:7]
-            tmax_row = row_ref[k, 12:12 + _NROWS, :]
+            tmax_row = row_ref[k, 6 * nrows:7 * nrows, :]
 
             if wide:
                 init_root, find_leaf = _make_descent8(
@@ -894,7 +913,8 @@ def _any_body(wide=False):
                 sp0, c0 = find_leaf(fp0, tmax_row, jnp.max(tmax_row))
             else:
                 find_leaf = _make_descent(
-                    bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k
+                    bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
+                    nrows=nrows,
                 )
                 stack_idx[0, 0] = jnp.int32(0)
                 stack_enter[0, 0] = jnp.float32(0.0)
@@ -952,7 +972,7 @@ def _any_body(wide=False):
                     # steering the descent; when all rays occlude, worst hits 0
                     # and the stack drains via the stale skip
                     hit_row = jnp.max(
-                        hit.astype(jnp.float32).reshape(_NROWS, 128, 128), axis=-1
+                        hit.astype(jnp.float32).reshape(nrows, 128, 128), axis=-1
                     )
                     ub_row = jnp.where(hit_row > 0.0, 0.0, ub_row)
                     return (j_ + 1, n, sp, occ, ub_row)
@@ -961,7 +981,7 @@ def _any_body(wide=False):
                     jnp.int32(0),
                     n0,
                     spp,
-                    jnp.zeros((TILE, 1), jnp.int32),
+                    jnp.zeros((tile, 1), jnp.int32),
                     tmax_row,
                 )
                 _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
@@ -969,7 +989,7 @@ def _any_body(wide=False):
 
             @pl.when(c0 < 0)
             def _():
-                occ_out[k] = jnp.zeros((1, TILE), jnp.int32)
+                occ_out[k] = jnp.zeros((1, tile), jnp.int32)
 
             @pl.when(c0 >= 0)
             def _():
@@ -983,7 +1003,7 @@ def _any_body(wide=False):
     return kernel
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("tile",))
 def trace_any_bvh(
     tris_packed: jnp.ndarray,  # (C, 9, 128) (or any slab with rows 0-8)
     bounds: jnp.ndarray,
@@ -993,17 +1013,20 @@ def trace_any_bvh(
     t_min,
     t_max,
     perm=None,
+    tile: int = TILE,
 ):
     """BVH any-hit (shadow rays): occluded mask, per-ray termination.
     perm: optional ray sort permutation fused into ray prep (occlusion
     mask comes back in SORTED order)."""
     del t_min
-    R, R_out, n_steps, cols, rowdata = _prep_bvh(ray_o, ray_d, t_max, perm)
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(
+        ray_o, ray_d, t_max, perm, tile=tile
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
-        in_specs=_in_specs(),
-        out_specs=[_out_block()],
+        in_specs=_in_specs(tile),
+        out_specs=[_out_block(1, tile)],
         scratch_shapes=[
             pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
@@ -1014,9 +1037,9 @@ def trace_any_bvh(
     )
     n_tiles = n_steps * TILES_PER_STEP
     (occ,) = pl.pallas_call(
-        _any_body(wide=False),
+        _any_body(wide=False, tile=tile),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32)],
     )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
     return (occ.reshape(R) > 0)[:R_out]
 

@@ -195,6 +195,9 @@ def pt_trace_pixels(
     leafmajor = bounce_tr is not None
     if leafmajor:
         sort_rays = False  # pair blocks need no ray-order coherence
+    # incoherent wavefronts run the BVH kernels at a smaller packet size
+    # (the flat cull-list fallback kernels don't take tile)
+    bounce_tile = trace.BOUNCE_TILE if (sort_rays and bvh is not None) else None
 
     def alpha_retrace(state, o, d, tmax, hit):
         """The stochastic any-hit retrace loop (scene.rahit): ignored
@@ -236,7 +239,7 @@ def pt_trace_pixels(
         return hit
 
     def trace_with_alpha(state, o, d, tmax, perm=None, inv=None,
-                         compact=False):
+                         compact=False, tile=None):
         """traceRay + the stochastic any-hit retrace loop (scene.rahit).
 
         perm/inv: optional coherence-sort permutation; the sort is fused
@@ -246,14 +249,18 @@ def pt_trace_pixels(
         compact=True runs the retrace loop tile-compacted on hit tiles —
         for the DENSE primary trace the loop's alpha taps and re-trace
         prep would otherwise run on every pixel (~150 ms/frame at 1080p
-        for a 6%-coverage scene)."""
+        for a 6%-coverage scene). tile: kernel packet size override for
+        incoherent wavefronts (trace.BOUNCE_TILE)."""
+        kw = {"tile": tile} if tile is not None else {}
         if perm is not None:
             from ..ops.trace_bvh import unpack_hit16
 
-            h16 = trace_closest_fn(o, d, 0.0, tmax, perm=perm, packed=True)
+            h16 = trace_closest_fn(
+                o, d, 0.0, tmax, perm=perm, packed=True, **kw
+            )
             hit = unpack_hit16(h16[inv])
         else:
-            hit = trace_closest_fn(o, d, 0.0, tmax)
+            hit = trace_closest_fn(o, d, 0.0, tmax, **kw)
         if alpha_rounds and use_full_kernel:
             if compact:
                 from ..ops.compact import tile_apply
@@ -389,6 +396,10 @@ def pt_trace_pixels(
         elif sort_rays:
             s_cluster = jnp.maximum(hit["tri"], 0) // trace.CLUSTER_PAD
             perm, inv = _sorted(_sort_key(s_cluster, shadow_d, need_shadow))
+            # shadow rays stay at tile=256: they converge on one light
+            # (directional: parallel), so packets are coherent and
+            # halving them only doubles descent work (measured 10.6 ->
+            # 12.6 ms on the FlightHelmet shadow batch)
             occluded = trace_any_fn(
                 shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm
             )[inv]
@@ -584,7 +595,7 @@ def pt_trace_pixels(
                 b_cluster = jnp.maximum(hit_["tri"], 0) // trace.CLUSTER_PAD
                 perm, inv = _sorted(_sort_key(b_cluster, d_, act))
                 hit2 = trace_with_alpha(
-                    s, o_, d_, tmax_, perm=perm, inv=inv
+                    s, o_, d_, tmax_, perm=perm, inv=inv, tile=bounce_tile
                 )
             else:
                 hit2 = trace_with_alpha(s, o_, d_, tmax_)

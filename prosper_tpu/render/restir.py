@@ -279,9 +279,9 @@ def restir_shade(
                 .at[perm]
                 .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
             )
-            occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm)[
-                inv
-            ]
+            occluded = any_fn(
+                shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm
+            )[inv]
         else:
             occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
     vis = jnp.where(valid & ~occluded, 1.0, 0.0)

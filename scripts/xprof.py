@@ -54,6 +54,54 @@ def top_ops(outdir, n=25):
         print(f"{ms/2:9.2f} ms  {name}")
 
 
+def self_times(outdir, n=30, frames=2):
+    """Per-op SELF time (children subtracted) from the 'XLA Ops' line —
+    the nested while/cond/fusion events on that line otherwise double
+    count everything they contain. Prints per-FRAME ms (divides by
+    `frames`, the dump_trace loop count)."""
+    from jax.profiler import ProfileData
+
+    paths = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane under {outdir}"
+    data = ProfileData.from_file(paths[0])
+    for plane in data.planes:
+        if not plane.name.endswith("TPU:0"):
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            evs = sorted(
+                ((ev.start_ns, ev.end_ns, ev.name) for ev in line.events),
+                key=lambda t: (t[0], -t[1]),
+            )
+            self_ms = defaultdict(float)
+            count = defaultdict(int)
+            stack = []  # (end_ns, name, child_ns accumulator index)
+            child = []
+            for s, e, name in evs:
+                while stack and s >= stack[-1][0]:
+                    end, nm, ci = stack.pop()
+                    dur = child[ci][0]
+                    self_ms[nm] += (dur - child[ci][1]) / 1e6
+                    count[nm] += 1
+                    if stack:
+                        child[stack[-1][2]][1] += dur
+                child.append([e - s, 0.0])
+                stack.append((e, name, len(child) - 1))
+            while stack:
+                end, nm, ci = stack.pop()
+                self_ms[nm] += (child[ci][0] - child[ci][1]) / 1e6
+                count[nm] += 1
+                if stack:
+                    child[stack[-1][2]][1] += child[ci][0]
+            total = sum(self_ms.values())
+            print(f"-- self-time total {total/frames:.1f} ms/frame --")
+            for name, ms in sorted(self_ms.items(), key=lambda kv: -kv[1])[:n]:
+                print(
+                    f"{ms/frames:9.2f} ms  x{count[name]:<4d} {name[:84]}"
+                )
+
+
 def main():
     import jax
     import jax.numpy as jnp
