@@ -142,9 +142,99 @@ def _row_min(t_block, nrows=_NROWS):
     return jnp.min(t_block.reshape(nrows, 128, 128), axis=-1)
 
 
-def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
+def _ray_rows(row_ref, k, nrows):
+    """Slice the 6 per-ray row channels (ox..inv_dz) of tile k."""
+    return tuple(
+        row_ref[k, c * nrows:(c + 1) * nrows, :] for c in range(6)
+    )
+
+
+def _pcg3d_xy01(x, y, z):
+    """One pcg3d advance of uvec3(x, y, z) -> the first two outputs as
+    [0,1] floats — parity with mathx.rng.rnd2d01(make_state(...))
+    (random.glsl:17-28,58-62), vectorized over any i32 array shape.
+
+    In-kernel copy in pure int32: Mosaic has no u32->f32 cast and thin
+    u32 vector support, but two's-complement add/mul/xor wrap to the
+    same bits as u32; the logical >>16 is an arithmetic shift + mask and
+    the final u32 value converts via a signed split (i32->f32 is
+    supported). The split double-rounds vs XLA's direct u32->f32 in rare
+    tie cases (<= 1 ulp of jitter = 2^-24 px) — hit-identical away from
+    exact silhouette-edge ties."""
+    i = jnp.int32
+    c1, c2 = i(1664525), i(1013904223)
+    x = x * c1 + c2
+    y = y * c1 + c2
+    z = z * c1 + c2
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    lsr16 = lambda v: (v >> i(16)) & i(0xFFFF)
+    x = x ^ lsr16(x)
+    y = y ^ lsr16(y)
+    z = z ^ lsr16(z)
+    x = x + y * z
+    y = y + z * x
+    inv = jnp.float32(1.0 / 0xFFFFFFFF)
+
+    def to01(v):
+        vf = v.astype(jnp.float32)
+        vf = jnp.where(v < 0, vf + jnp.float32(4294967296.0), vf)
+        return vf * inv
+
+    return to01(x), to01(y)
+
+
+def _raygen_tile(cam_ref, i_ref, pix):
+    """Generate one tile's jittered pinhole rays in-kernel.
+
+    cam_ref (1, 16) f32 SMEM: eye(0:3) | A=2*right*thfy*aspect(3:6) |
+    B=2*up*thfy(6:9) | C=fwd-rt-up2(9:12) | W(12) | H(13) so that
+    d = normalize(ux*A + uy*B + C) with (ux, uy) the jittered uv — the
+    per-pixel affine form of ops/rays.pinhole_rays. i_ref (1, 4) i32:
+    [frame_index]. pix: (px, py, tmax) f32 arrays of a shared shape (the
+    (tile, 1) column or (nrows, 128) row layout); tmax is the static
+    per-lane budget from pack_pixels_np (inf real, 0 pad).
+
+    Returns (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmax) in pix's shape.
+    The jitter is the reference's per-pixel rnd2d01 camera stream
+    (main.rgen), reproduced bit-for-bit so the XLA-side shading RNG
+    stays in sync with the traced rays.
+    """
+    px, py, tmax = pix
+    fi = i_ref[0, 0]
+    jx, jy = _pcg3d_xy01(
+        px.astype(jnp.int32),
+        py.astype(jnp.int32),
+        jnp.full(px.shape, fi, jnp.int32),
+    )
+    # pcg(16) selects the jitter model: 1 = per-pixel pcg3d (PT), 0 =
+    # pixel centers + the per-frame scalar offset folded into (14, 15)
+    # (the G-buffer's TAA-jittered projection, gbuffer.py uv_j)
+    pcg_on = cam_ref[0, 16]
+    ux = (px + pcg_on * jx + cam_ref[0, 14]) / cam_ref[0, 12]
+    uy = (py + pcg_on * jy + cam_ref[0, 15]) / cam_ref[0, 13]
+    dx = ux * cam_ref[0, 3] + uy * cam_ref[0, 6] + cam_ref[0, 9]
+    dy = ux * cam_ref[0, 4] + uy * cam_ref[0, 7] + cam_ref[0, 10]
+    dz = ux * cam_ref[0, 5] + uy * cam_ref[0, 8] + cam_ref[0, 11]
+    inv_n = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx = dx * inv_n
+    dy = dy * inv_n
+    dz = dz * inv_n
+    ox = jnp.full(px.shape, cam_ref[0, 0], jnp.float32)
+    oy = jnp.full(px.shape, cam_ref[0, 1], jnp.float32)
+    oz = jnp.full(px.shape, cam_ref[0, 2], jnp.float32)
+    guard = lambda d: jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.float32(1e30))
+    return ox, oy, oz, dx, dy, dz, guard(dx), guard(dy), guard(dz), tmax
+
+
+def _make_descent(bounds_ref, meta_ref, rows, stack_idx, stack_enter,
                   mask_ref=None, nrows=_NROWS):
-    """Build the find_leaf closure over ray tile k's rows.
+    """Build the find_leaf closure over one ray tile's row data.
+
+    rows: (oxr, oyr, ozr, ixr, iyr, izr) — each (nrows, 128) f32, either
+    sliced from the prepacked rowdata ref or computed in-kernel (the
+    raygen primary variant).
 
     find_leaf(sp, ub_row, worst) pops the stack until a leaf whose AABB
     some ray enters before its personal upper bound is found. Returns
@@ -155,12 +245,7 @@ def _make_descent(bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
     leaves are skipped without a slab DMA — the two-phase meshlet cull's
     draw-list analog riding the BVH kernel (draw_list_culler.comp).
     """
-    oxr = row_ref[k, 0:nrows, :]
-    oyr = row_ref[k, nrows:2 * nrows, :]
-    ozr = row_ref[k, 2 * nrows:3 * nrows, :]
-    ixr = row_ref[k, 3 * nrows:4 * nrows, :]
-    iyr = row_ref[k, 4 * nrows:5 * nrows, :]
-    izr = row_ref[k, 5 * nrows:6 * nrows, :]
+    oxr, oyr, ozr, ixr, iyr, izr = rows
 
     def node_enter(i, ub_row):
         """Per-ray slab test of node i: min entry over passing rays
@@ -400,19 +485,27 @@ def _make_descent8(nodes_ref, row_ref, kstack, cstack, cursors, k):
     return init_root, find_leaf
 
 
-def _closest_body(fused, wide=False, masked=False, tile=TILE):
+def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
     """Kernel body shared by the plain and fused closest-hit variants.
     Processes TILES_PER_STEP ray tiles per grid step. wide=True uses the
     8-wide descent over a pack_nodes8 table instead of BVH2 SMEM scalars.
     masked=True takes a per-cluster visibility prefetch array (BVH2
     only): culled leaves are skipped in-kernel. tile: rays per packet
-    (BVH2 only; 128 for incoherent wavefronts — see _prep_bvh)."""
+    (BVH2 only; 128 for incoherent wavefronts — see _prep_bvh).
+    raygen=True generates jittered pinhole PRIMARY rays in-kernel from
+    static pixel-coordinate layouts + camera uniforms (_raygen_tile)
+    instead of reading prepacked ray data — the 2M-ray XLA prep
+    (cols/rowdata relayout copies) disappears from the frame."""
     nrows = tile // 128
     assert wide is False or tile == TILE, "wide descent is 256-ray only"
+    assert not (raygen and (wide or masked)), "raygen is BVH2, unmasked"
 
     def kernel(*args):
         mask_ref = None
-        if wide:
+        if raygen:
+            (bounds_ref, meta_ref, cam_ref, i_ref, cols_ref, row_ref,
+             tris_hbm, *rest) = args
+        elif wide:
             (nodes_ref, cols_ref, row_ref, tris_hbm, *rest) = args
         elif masked:
             (bounds_ref, meta_ref, mask_ref, cols_ref, row_ref, tris_hbm,
@@ -443,15 +536,37 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE):
             )
 
         def tile_body(k, _):
-            colsT = jnp.transpose(cols_ref[k], (1, 0))  # (tile, 8)
-            ox = colsT[:, 0:1]
-            oy = colsT[:, 1:2]
-            oz = colsT[:, 2:3]
-            dx = colsT[:, 3:4]
-            dy = colsT[:, 4:5]
-            dz = colsT[:, 5:6]
+            if raygen:
+                # cols_ref/row_ref hold PIXEL data (3 ch: px, py, tmax)
+                pc = jnp.transpose(cols_ref[k], (1, 0))  # (tile, 3)
+                (ox, oy, oz, dx, dy, dz, _ix, _iy, _iz, tmax_col) = (
+                    _raygen_tile(
+                        cam_ref, i_ref,
+                        (pc[:, 0:1], pc[:, 1:2], pc[:, 2:3]),
+                    )
+                )
+                (oxr, oyr, ozr, _dxr, _dyr, _dzr, ixr, iyr, izr,
+                 best_row0) = _raygen_tile(
+                    cam_ref, i_ref,
+                    (
+                        row_ref[k, 0:nrows, :],
+                        row_ref[k, nrows:2 * nrows, :],
+                        row_ref[k, 2 * nrows:3 * nrows, :],
+                    ),
+                )
+                rows = (oxr, oyr, ozr, ixr, iyr, izr)
+            else:
+                colsT = jnp.transpose(cols_ref[k], (1, 0))  # (tile, 8)
+                ox = colsT[:, 0:1]
+                oy = colsT[:, 1:2]
+                oz = colsT[:, 2:3]
+                dx = colsT[:, 3:4]
+                dy = colsT[:, 4:5]
+                dz = colsT[:, 5:6]
+                tmax_col = colsT[:, 6:7]
+                best_row0 = row_ref[k, 6 * nrows:7 * nrows, :]  # tmax rows
+                rows = _ray_rows(row_ref, k, nrows)
 
-            best_row0 = row_ref[k, 6 * nrows:7 * nrows, :]  # tmax rows
             if wide:
                 init_root, find_leaf = _make_descent8(
                     nodes_ref, row_ref, kstack, cstack, cursors, k
@@ -460,7 +575,7 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE):
                 sp0, c0 = find_leaf(fp0, best_row0, jnp.max(best_row0))
             else:
                 find_leaf = _make_descent(
-                    bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
+                    bounds_ref, meta_ref, rows, stack_idx, stack_enter,
                     mask_ref=mask_ref, nrows=nrows,
                 )
                 # push root
@@ -638,7 +753,7 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE):
                     jnp.int32(0),
                     n0,
                     spp,
-                    colsT[:, 6:7],
+                    tmax_col,
                     best_row0,
                     jnp.full((tile, 1), -1, jnp.int32),
                 )
@@ -699,7 +814,7 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE):
                 out[k] = jnp.transpose(
                     jnp.concatenate(
                         [
-                            colsT[:, 6:7],
+                            tmax_col,
                             jnp.full((tile, 1), -1.0, jnp.float32),
                             jnp.zeros(
                                 (tile, 14 if fused else 6), jnp.float32
@@ -861,6 +976,145 @@ def trace_closest_bvh_full(
     return unpack_hit16(out)
 
 
+def pack_pixels_np(px, py, tile=TILE):
+    """numpy pixel coords -> the raygen kernel's static layouts.
+
+    Returns (cols (T, 3, tile) f32, rows (T, 3*nrows, 128) f32, R0) with
+    channel order px | py | tmax (inf real, 0 pad). Static per pixel
+    list, so callers cache the packed arrays across frames — the
+    per-frame 2M-ray prep (_prep_bvh's cols/rowdata relayouts, ~13 ms of
+    T(4,128)->T(8,128) copies in the 1080p PT xplane) is replaced by two
+    constant uploads."""
+    import numpy as np
+
+    nrows = tile // 128
+    R0 = int(px.shape[0])
+    pad = (-R0) % (TILES_PER_STEP * tile)
+    pxp = np.concatenate(
+        [np.asarray(px, np.float32), np.full(pad, -1.0, np.float32)]
+    )
+    pyp = np.concatenate(
+        [np.asarray(py, np.float32), np.full(pad, -1.0, np.float32)]
+    )
+    tm = np.concatenate(
+        [np.full(R0, np.inf, np.float32), np.zeros(pad, np.float32)]
+    )
+    T = pxp.shape[0] // tile
+    cols = np.stack(
+        [pxp.reshape(T, tile), pyp.reshape(T, tile), tm.reshape(T, tile)],
+        axis=1,
+    )
+    rows = cols.reshape(T, 3 * nrows, 128)
+    return cols, rows, R0
+
+
+def primary_cam_vec(cam: dict, width, height, pixel_jitter=None,
+                    y_offset=0.0):
+    """(1, 24) f32 camera uniforms for the raygen kernel: the affine
+    per-pixel form of ops/rays.pinhole_rays (see _raygen_tile).
+
+    pixel_jitter=None selects the PT per-pixel pcg jitter; a (2,) NDC
+    jitter (cam["current_jitter"]) selects pixel centers shifted by the
+    per-frame TAA jitter (render/gbuffer.py's uv_j), folded into the
+    constant pixel offset. y_offset renders a band of a `height`-tall
+    frame starting at that absolute row (gbuffer.py band sharding);
+    `height` is then the FULL frame height."""
+    c2c = cam["camera_to_clip"]
+    w2c = cam["world_to_camera"]
+    aspect = c2c[1, 1] / c2c[0, 0]
+    thfy = 1.0 / c2c[1, 1]
+    rt = w2c[0, :3] * thfy * aspect
+    up2 = w2c[1, :3] * thfy
+    fwd = -w2c[2, :3]
+    w = jnp.asarray(width, jnp.float32)
+    h = jnp.asarray(height, jnp.float32)
+    if pixel_jitter is None:
+        offx, offy, pcg_on = jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0)
+    else:
+        j = jnp.asarray(pixel_jitter, jnp.float32)
+        offx = 0.5 + 0.5 * j[0] * w
+        offy = 0.5 - 0.5 * j[1] * h + jnp.asarray(y_offset, jnp.float32)
+        pcg_on = jnp.float32(0.0)
+    tail = jnp.stack(
+        [w, h, offx, offy, pcg_on]
+        + [jnp.float32(0.0)] * 7
+    )
+    return jnp.concatenate(
+        [
+            cam["eye"].astype(jnp.float32),
+            (2.0 * rt).astype(jnp.float32),
+            (2.0 * up2).astype(jnp.float32),
+            (fwd - rt - up2).astype(jnp.float32),
+            tail,
+        ]
+    ).reshape(1, 24)
+
+
+@jax.jit
+def trace_primary_bvh_full(
+    tris_packed: jnp.ndarray,  # (C, 40, 128)
+    bounds: jnp.ndarray,
+    meta: jnp.ndarray,
+    pix_cols: jnp.ndarray,  # (T, 3, tile) f32 from pack_pixels_np
+    pix_rows: jnp.ndarray,  # (T, 3*nrows, 128) f32
+    cam_vec: jnp.ndarray,  # (1, 24) f32 from primary_cam_vec
+    i_vec: jnp.ndarray,  # (1, 4) i32 [frame_index, 0, 0, 0]
+):
+    """Fused closest-hit over in-kernel-generated jittered pinhole
+    primary rays (trace_closest_bvh_full contract, packed rows out).
+
+    The jitter is the reference's per-pixel rnd2d01 camera jitter
+    (main.rgen), bit-parity with the XLA-side RNG stream. Returns
+    (T*tile, 16) packed hit rows — callers slice [:R] and unpack_hit16.
+    """
+    T, _, tile = pix_cols.shape
+    nrows = tile // 128
+    n_steps = T // TILES_PER_STEP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (TILES_PER_STEP, 3, tile),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILES_PER_STEP, 3 * nrows, 128),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[_out_block(16, tile)],
+        scratch_shapes=[
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
+            pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), tris_packed.dtype),
+            pltpu.SMEM((1, STACK_CAP), jnp.int32),
+            pltpu.SMEM((1, STACK_CAP), jnp.float32),
+            pltpu.VMEM((tile, 12), jnp.float32),
+            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _closest_body(fused=True, tile=tile, raygen=True),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 16, tile), jnp.float32),
+        ],
+    )(
+        bounds.reshape(1, -1),
+        meta.reshape(1, -1),
+        cam_vec,
+        i_vec.astype(jnp.int32),
+        pix_cols,
+        pix_rows,
+        tris_packed,
+    )
+    return out.transpose(0, 2, 1).reshape(T * tile, 16)
+
+
 def unpack_hit16(out):
     """(R, 16) packed closest-full rows -> hit dict (see above)."""
     return {
@@ -913,8 +1167,8 @@ def _any_body(wide=False, tile=TILE):
                 sp0, c0 = find_leaf(fp0, tmax_row, jnp.max(tmax_row))
             else:
                 find_leaf = _make_descent(
-                    bounds_ref, meta_ref, row_ref, stack_idx, stack_enter, k,
-                    nrows=nrows,
+                    bounds_ref, meta_ref, _ray_rows(row_ref, k, nrows),
+                    stack_idx, stack_enter, nrows=nrows,
                 )
                 stack_idx[0, 0] = jnp.int32(0)
                 stack_enter[0, 0] = jnp.float32(0.0)

@@ -286,9 +286,27 @@ def render_gbuffer(
         }
     else:
         if use_full and bvh is not None:
-            from ..ops.trace_bvh import unpack_hit16
+            from ..ops.trace_bvh import (
+                pack_pixels_np,
+                primary_cam_vec,
+                trace_primary_bvh_full,
+                unpack_hit16,
+            )
 
-            h16 = make_closest(None, None)(o, d, 1e-4, jnp.inf, packed=True)
+            # in-kernel raygen: the TAA-jittered projection folds into
+            # the affine camera uniforms (no per-frame 2M-ray prep)
+            cols_np, rows_np, _r0 = pack_pixels_np(px_np, py_np)
+            h16 = trace_primary_bvh_full(
+                packed_full,
+                bvh[0],
+                bvh[1],
+                jnp.asarray(cols_np),
+                jnp.asarray(rows_np),
+                primary_cam_vec(
+                    cam, width, full_h, pixel_jitter=jit, y_offset=y_offset
+                ),
+                jnp.zeros((1, 4), jnp.int32),
+            )[: px_np.shape[0]]
             if blocked:
                 # stay in trace order: the 16-channel row-major permute
                 # was the deferred frame's single most expensive op

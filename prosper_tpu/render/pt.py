@@ -30,7 +30,7 @@ ray termination (rays that miss never run the hit shader).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,16 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+@lru_cache(maxsize=4)
+def _packed_pixels(width: int, height: int):
+    """Static in-kernel-raygen pixel layouts for the block16 pixel order
+    (ops.trace_bvh.pack_pixels_np), cached per resolution."""
+    from ..ops.trace_bvh import pack_pixels_np
+
+    px_np, py_np, _ = trace.block_pixel_order(width, height)
+    return pack_pixels_np(px_np, py_np)
+
+
 def pt_trace_pixels(
     static_scene: dict,
     frame: dict,
@@ -90,8 +100,13 @@ def pt_trace_pixels(
     env: jnp.ndarray | None = None,
     alpha_rounds: int = 0,
     chunk_tiles: int = 512,
+    pix_packed=None,
 ):
     """Path-trace an arbitrary flat pixel list -> ((R,3) color, ray count).
+
+    pix_packed: optional (cols, rows) static pixel layouts from
+    ops.trace_bvh.pack_pixels_np matching (px, py) — enables in-kernel
+    primary ray generation on the full-kernel path (no 2M-ray prep).
 
     alpha_rounds > 0 enables stochastic-alpha any-hit parity
     (scene.rahit): ignored hits (failed mask test, or blend alpha below a
@@ -239,7 +254,7 @@ def pt_trace_pixels(
         return hit
 
     def trace_with_alpha(state, o, d, tmax, perm=None, inv=None,
-                         compact=False, tile=None):
+                         compact=False, tile=None, hit=None):
         """traceRay + the stochastic any-hit retrace loop (scene.rahit).
 
         perm/inv: optional coherence-sort permutation; the sort is fused
@@ -250,9 +265,13 @@ def pt_trace_pixels(
         for the DENSE primary trace the loop's alpha taps and re-trace
         prep would otherwise run on every pixel (~150 ms/frame at 1080p
         for a 6%-coverage scene). tile: kernel packet size override for
-        incoherent wavefronts (trace.BOUNCE_TILE)."""
+        incoherent wavefronts (trace.BOUNCE_TILE). hit: precomputed hit
+        dict (the in-kernel-raygen primary path) — skips the trace and
+        runs only the alpha loop."""
         kw = {"tile": tile} if tile is not None else {}
-        if perm is not None:
+        if hit is not None:
+            pass
+        elif perm is not None:
             from ..ops.trace_bvh import unpack_hit16
 
             h16 = trace_closest_fn(
@@ -507,7 +526,37 @@ def pt_trace_pixels(
     )
     tmax0 = jnp.where(lane_real, jnp.inf, 0.0)
     n_rays = jnp.sum(lane_real.astype(jnp.int32))
-    hit0 = trace_with_alpha(state, ray_o, ray_d, tmax0, compact=True)
+    hit_pre = None
+    if (
+        pix_packed is not None
+        and use_full_kernel
+        and bvh is not None
+        and not use_dof
+    ):
+        # in-kernel primary raygen: jittered pinhole rays are generated
+        # inside the trace kernel from static pixel layouts + camera
+        # uniforms (bit-parity pcg3d jitter), so the 2M-ray cols/rowdata
+        # prep and its relayout copies never run. The XLA-side state/
+        # ray_d above still feed shading — same rays, same RNG stream.
+        from ..ops.trace_bvh import (
+            primary_cam_vec,
+            trace_primary_bvh_full,
+            unpack_hit16,
+        )
+
+        h16 = trace_primary_bvh_full(
+            packed_full,
+            bvh[0],
+            bvh[1],
+            pix_packed[0],
+            pix_packed[1],
+            primary_cam_vec(cam, width, height),
+            jnp.full((1, 4), frame_index, jnp.int32),
+        )
+        hit_pre = unpack_hit16(h16[:R])
+    hit0 = trace_with_alpha(
+        state, ray_o, ray_d, tmax0, compact=True, hit=hit_pre
+    )
 
     color_full = jnp.zeros((R, 3), jnp.float32)
     if env is not None:
@@ -723,6 +772,7 @@ def pt_render_sample(
     px_np, py_np, _inv_np = trace.block_pixel_order(width, height)
     px = jnp.asarray(px_np)
     py = jnp.asarray(py_np)
+    cols_np, rows_np, _r0 = _packed_pixels(width, height)
     color, n_rays = pt_trace_pixels(
         static_scene,
         frame,
@@ -737,6 +787,7 @@ def pt_render_sample(
         clamp_indirect,
         env,
         alpha_rounds,
+        pix_packed=(jnp.asarray(cols_np), jnp.asarray(rows_np)),
     )
     # segment-level inverse permutation: 16x fewer gather rows than a
     # per-pixel color[inv]

@@ -103,6 +103,39 @@ def main() -> int:
         and bool(jnp.all(jnp.isfinite(jnp.where(sel[:, None], full["normal"], 0.0)))),
     )
 
+    # ---- in-kernel primary raygen (pt primary fast path) ----
+    from prosper_tpu.mathx import rng as prng
+    from prosper_tpu.ops.rays import pinhole_rays
+
+    W = H = 64
+    cam = {k: jnp.asarray(v) for k, v in cam_fn(W, H).items()}
+    fi = 5
+    px_np, py_np, _ = trace.block_pixel_order(W, H)
+    px, py = jnp.asarray(px_np), jnp.asarray(py_np)
+    _, jitter = prng.rnd2d01(prng.make_state(px, py, jnp.uint32(fi)))
+    uvj = (jnp.stack([px, py], -1).astype(jnp.float32) + jitter) / jnp.array(
+        [W, H], jnp.float32
+    )
+    po, pd = pinhole_rays(cam, uvj)
+    want = trace_bvh.trace_closest_bvh_full(
+        packed40, bounds, meta, po, pd, 0.0, jnp.inf
+    )
+    cols_np, rows_np, R0 = trace_bvh.pack_pixels_np(px_np, py_np)
+    got16 = trace_bvh.trace_primary_bvh_full(
+        packed40, bounds, meta,
+        jnp.asarray(cols_np), jnp.asarray(rows_np),
+        trace_bvh.primary_cam_vec(cam, W, H),
+        jnp.full((1, 4), fi, jnp.int32),
+    )
+    got = trace_bvh.unpack_hit16(got16[:R0])
+    # jitter is pcg3d bit-parity; a Mosaic u32->f32 convert quirk would
+    # only flip silhouette-edge pixels, so demand near-total agreement
+    tri_match = float(jnp.mean((got["tri"] == want["tri"]).astype(jnp.float32)))
+    bothp = (got["tri"] >= 0) & (want["tri"] >= 0) & (got["tri"] == want["tri"])
+    terr_p = float(jnp.max(jnp.where(bothp, jnp.abs(got["t"] - want["t"]), 0.0)))
+    check("trace_primary_raygen", tri_match > 0.999 and terr_p < 1e-3,
+          f"tri_match={tri_match:.5f} t_err={terr_p:.2e}")
+
     # ---- f16 at-rest geometry quantization. Mosaic rejects f16 refs
     # in-kernel ("Unsupported type in mosaic dialect: 'f16'", v5e r4),
     # so quantize at rest and ship the slabs f32: this validates the
