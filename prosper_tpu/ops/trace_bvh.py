@@ -69,6 +69,20 @@ ISECT_BLOCK = "moller"  # triangle test: "moller" (VPU) or "plucker"
 # so the A/B is switchable per trace; see scripts/bench_insitu.py
 ISECT_PRECISION = None  # None = bf16 MXU passes; lax.Precision.HIGHEST
 # = f32-emulation (bf16x3); only read when ISECT_BLOCK == "plucker"
+import os as _os
+
+ROWSKIP = _os.environ.get("PT_ROWSKIP", "0") != "0"
+# 128-ray fused closest: run Möller/attr interpolation only on the 8-row
+# ray groups whose rays enter the visited leaf before their current best
+# (scripts/rowskip_analysis.py: 3.6 of 16 groups occupied on the real
+# sorted bounce wavefront — ~4.5x less Möller work per union visit).
+# MEASURED NEGATIVE on v5e (scripts/bench_rowskip.py, 70k sorted bounce
+# rays): 49.9 ms vs 29.4 ms baseline — the per-group fori/@pl.when
+# machinery (dynamic sublane slices, VMEM round-trips for the best-hit
+# state, one vector->scalar sync per visit) costs ~1.4 us/visit, more
+# than the ~1.5 us of Möller it saves at tile=128. Kept switchable as a
+# documented negative result; default stays the dense Möller block.
+
 ROWS_FULL = 40  # fused-attribute slab rows (ops/trace_pallas_full.py)
 ROWS_PLAIN = 9  # geometry-only slab rows (ops/trace_pallas.py)
 TILES_PER_STEP = 8  # ray tiles processed per grid step
@@ -270,13 +284,36 @@ def _make_descent(bounds_ref, meta_ref, rows, stack_idx, stack_enter,
         ok = (enter <= exit_) & (enter < ub_row)
         return jnp.min(jnp.where(ok, enter, _INF))
 
+    def enter_mask(i, ub_row):
+        """Per-ray pass mask of node i vs the per-ray upper bounds —
+        the same conservative predicate node_enter reduces, kept as the
+        full (nrows, 128) row. Drives the row-skip Möller groups: a ray
+        whose entry is at/behind its current best cannot improve in this
+        leaf, exactly the descent's own pruning rule."""
+        b = 6 * i
+        t0x = (bounds_ref[0, b + 0] - oxr) * ixr
+        t1x = (bounds_ref[0, b + 3] - oxr) * ixr
+        t0y = (bounds_ref[0, b + 1] - oyr) * iyr
+        t1y = (bounds_ref[0, b + 4] - oyr) * iyr
+        t0z = (bounds_ref[0, b + 2] - ozr) * izr
+        t1z = (bounds_ref[0, b + 5] - ozr) * izr
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        return (enter <= exit_) & (enter < ub_row)
+
     def find_leaf(sp, ub_row, worst):
         def cond(c):
-            sp, found = c
+            sp, found, _ = c
             return (sp > 0) & (found < 0)
 
         def body(c):
-            sp, found = c
+            sp, found, fnode = c
             sp = sp - 1
             i = stack_idx[0, sp]
             en = stack_enter[0, sp]
@@ -319,14 +356,22 @@ def _make_descent(bounds_ref, meta_ref, rows, stack_idx, stack_enter,
                     return sp + (ne < _INF).astype(jnp.int32)
 
                 sp = jax.lax.cond(is_leaf, lambda s: s, push_children, sp)
-                return sp, jnp.where(emit, leaf, found)
+                return (
+                    sp,
+                    jnp.where(emit, leaf, found),
+                    jnp.where(emit, i, fnode),
+                )
 
-            return jax.lax.cond(stale, lambda s: (s, found), visit, sp)
+            return jax.lax.cond(
+                stale, lambda s: (s, found, fnode), visit, sp
+            )
 
-        sp, found = jax.lax.while_loop(cond, body, (sp, jnp.int32(-1)))
-        return sp, found
+        sp, found, fnode = jax.lax.while_loop(
+            cond, body, (sp, jnp.int32(-1), jnp.int32(-1))
+        )
+        return sp, found, fnode
 
-    return find_leaf
+    return find_leaf, enter_mask
 
 
 _KEY_INF = 0x7F61B1E0  # key bits of _INF (3e38): masked-slot sentinel threshold
@@ -485,7 +530,8 @@ def _make_descent8(nodes_ref, row_ref, kstack, cstack, cursors, k):
     return init_root, find_leaf
 
 
-def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
+def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
+                  rowskip=False):
     """Kernel body shared by the plain and fused closest-hit variants.
     Processes TILES_PER_STEP ray tiles per grid step. wide=True uses the
     8-wide descent over a pack_nodes8 table instead of BVH2 SMEM scalars.
@@ -495,10 +541,15 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
     raygen=True generates jittered pinhole PRIMARY rays in-kernel from
     static pixel-coordinate layouts + camera uniforms (_raygen_tile)
     instead of reading prepacked ray data — the 2M-ray XLA prep
-    (cols/rowdata relayout copies) disappears from the frame."""
+    (cols/rowdata relayout copies) disappears from the frame.
+    rowskip=True (fused 128-ray packets) runs Möller/attrs only on the
+    8-row ray groups entering each leaf (see the rs_body comment)."""
     nrows = tile // 128
     assert wide is False or tile == TILE, "wide descent is 256-ray only"
     assert not (raygen and (wide or masked)), "raygen is BVH2, unmasked"
+    assert not rowskip or (
+        fused and not wide and not masked and not raygen and tile == 128
+    ), "rowskip is the fused BVH2 128-ray bounce variant"
 
     def kernel(*args):
         mask_ref = None
@@ -518,6 +569,12 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
                  attr_scr, pend, sems) = rest
             else:
                 (out, tri_slab, kstack, cstack, cursors, pend, sems) = rest
+        elif rowskip:
+            # no attr_slab: the 40-row slab ships whole in the ring (the
+            # attrs are consumed nearly every visit here, and a separate
+            # on-demand fetch would serialize on the visit loop)
+            (out, tri_slab, stack_idx, stack_enter, attr_scr, pend,
+             cols_scr, bt_scr, btri_scr, pend_node, sems) = rest
         elif fused:
             (out, tri_slab, attr_slab, stack_idx, stack_enter, attr_scr,
              pend, sems) = rest
@@ -526,13 +583,16 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
         t_min = 1e-4
+        rows_fetch = ROWS_FULL if rowskip else ROWS_PLAIN
 
         def get_dma(slot, c):
-            # geometry rows only: the 31 attribute rows are fetched on
-            # demand when a leaf improves a hit (most visits don't), so
-            # the steady-state leaf traffic is 4.5 KB, not 20 KB
+            # geometry rows only (rowskip: all 40 rows — see above): the
+            # 31 attribute rows are otherwise fetched on demand when a
+            # leaf improves a hit (most visits don't), so the
+            # steady-state leaf traffic is 4.5 KB, not 20 KB
             return pltpu.make_async_copy(
-                tris_hbm.at[c, 0:ROWS_PLAIN], tri_slab.at[slot], sems.at[slot]
+                tris_hbm.at[c, 0:rows_fetch], tri_slab.at[slot],
+                sems.at[slot]
             )
 
         def tile_body(k, _):
@@ -567,31 +627,45 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
                 best_row0 = row_ref[k, 6 * nrows:7 * nrows, :]  # tmax rows
                 rows = _ray_rows(row_ref, k, nrows)
 
+            enter_mask = None
             if wide:
-                init_root, find_leaf = _make_descent8(
+                init_root, find_leaf8 = _make_descent8(
                     nodes_ref, row_ref, kstack, cstack, cursors, k
                 )
+
+                def find_leaf(sp, ub_row, worst):
+                    s, c = find_leaf8(sp, ub_row, worst)
+                    return s, c, jnp.int32(-1)
+
                 fp0 = init_root(best_row0)
-                sp0, c0 = find_leaf(fp0, best_row0, jnp.max(best_row0))
+                sp0, c0, node0 = find_leaf(
+                    fp0, best_row0, jnp.max(best_row0)
+                )
             else:
-                find_leaf = _make_descent(
+                find_leaf, enter_mask = _make_descent(
                     bounds_ref, meta_ref, rows, stack_idx, stack_enter,
                     mask_ref=mask_ref, nrows=nrows,
                 )
                 # push root
                 stack_idx[0, 0] = jnp.int32(0)
                 stack_enter[0, 0] = jnp.float32(0.0)
-                sp0, c0 = find_leaf(
+                sp0, c0, node0 = find_leaf(
                     jnp.int32(1), best_row0, jnp.max(best_row0)
                 )
 
             def run_pipeline():
                 if fused:
                     attr_scr[...] = jnp.zeros((tile, 12), jnp.float32)
+                if rowskip:
+                    cols_scr[...] = colsT
+                    bt_scr[...] = tmax_col
+                    btri_scr[...] = jnp.full((tile, 1), -1, jnp.int32)
                 # prime the slab ring: descend up to DMA_DEPTH-1 leaves
                 # ahead before the first Moller so every wait has ~3
                 # visits of issued-ahead DMA behind it
                 pend[0, 0] = c0
+                if rowskip:
+                    pend_node[0, 0] = node0
 
                 def pcond(c):
                     n, sp = c
@@ -599,17 +673,23 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
 
                 def pbody(c):
                     n, sp = c
-                    sp, nxt = find_leaf(sp, best_row0, jnp.max(best_row0))
+                    sp, nxt, nnode = find_leaf(
+                        sp, best_row0, jnp.max(best_row0)
+                    )
 
                     if not DEBUG_NO_DMA:
                         @pl.when(nxt >= 0)
                         def _():
                             pend[0, n] = nxt
+                            if rowskip:
+                                pend_node[0, n] = nnode
                             get_dma(n, nxt).start()
                     else:
                         @pl.when(nxt >= 0)
                         def _():
                             pend[0, n] = nxt
+                            if rowskip:
+                                pend_node[0, n] = nnode
 
                     return n + (nxt >= 0).astype(jnp.int32), sp
 
@@ -619,6 +699,161 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
 
                 def cond(state):
                     return state[0] < state[1]  # consumed < found
+
+                if rowskip:
+                    # ---- row-skip visit loop (128-ray bounce packets):
+                    # Möller + attr interpolation run ONLY on the 8-row
+                    # ray groups whose rays enter the leaf before their
+                    # personal best (rowskip_analysis.py: 3.6 of 16
+                    # groups occupied on the real sorted bounce set —
+                    # union-visit Möller waste drops ~4.5x). Best-hit
+                    # state lives in VMEM scratch so groups update their
+                    # row slices in place; the descent's lane-major upper
+                    # bounds are the transposed best-t column.
+                    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                    gweight = jnp.where(
+                        lane1 % 8 == 0,
+                        jnp.left_shift(jnp.int32(1), lane1 // 8),
+                        0,
+                    )
+
+                    def rs_body(state):
+                        j_, n, sp, best_row = state
+                        sp, nxt, nnode = find_leaf(
+                            sp, best_row, jnp.max(best_row)
+                        )
+
+                        @pl.when(nxt >= 0)
+                        def _():
+                            slot_w = jax.lax.rem(n, DMA_DEPTH)
+                            pend[0, slot_w] = nxt
+                            pend_node[0, slot_w] = nnode
+                            get_dma(slot_w, nxt).start()
+
+                        n = n + (nxt >= 0).astype(jnp.int32)
+                        slot = jax.lax.rem(j_, DMA_DEPTH)
+                        cur = pend[0, slot]
+                        cnode = pend_node[0, slot]
+                        get_dma(slot, cur).wait()
+                        slab = tri_slab[slot].astype(jnp.float32)
+
+                        # one i32 bitmask of occupied 8-row groups: the
+                        # fresh per-ray entry mask, window-ORed over each
+                        # 8-lane group (3 rotate rounds; group-start
+                        # lanes hold their group's OR), then one reduce —
+                        # a single vector->scalar transfer per visit
+                        ei = enter_mask(cnode, best_row).astype(jnp.int32)
+                        ei = ei | pltpu.roll(ei, 127, axis=1)
+                        ei = ei | pltpu.roll(ei, 126, axis=1)
+                        ei = ei | pltpu.roll(ei, 124, axis=1)
+                        bits = jnp.sum(ei * gweight)
+
+                        def group_body(g, _):
+                            @pl.when(
+                                (jax.lax.shift_right_logical(bits, g) & 1)
+                                != 0
+                            )
+                            def _():
+                                ro = pl.ds(g * 8, 8)
+                                colsg = cols_scr[ro, :]  # (8, 8)
+                                btg = bt_scr[ro, :]  # (8, 1)
+                                _h, tg, ug, vg = _moller_block(
+                                    slab[0:9],
+                                    colsg[:, 0:1],
+                                    colsg[:, 1:2],
+                                    colsg[:, 2:3],
+                                    colsg[:, 3:4],
+                                    colsg[:, 4:5],
+                                    colsg[:, 5:6],
+                                    t_min,
+                                    btg,
+                                )
+                                tmin = jnp.min(tg, axis=1, keepdims=True)
+                                improved = tmin < btg
+                                is_best = tg == tmin
+                                jg = jnp.min(
+                                    jnp.where(is_best, lane8, 128),
+                                    axis=1,
+                                    keepdims=True,
+                                )
+                                sel = is_best & (lane8 == jg)
+                                selw = sel.astype(jnp.float32)
+                                w_b = 1.0 - ug - vg
+
+                                def interp(r0, r1, r2):
+                                    a = (
+                                        w_b * slab[r0:r0 + 1, :]
+                                        + ug * slab[r1:r1 + 1, :]
+                                        + vg * slab[r2:r2 + 1, :]
+                                    )
+                                    return jnp.sum(
+                                        a * selw, axis=1, keepdims=True
+                                    )
+
+                                attrs = [
+                                    interp(9 + c, 12 + c, 15 + c)
+                                    for c in range(3)
+                                ] + [
+                                    interp(18 + c, 22 + c, 26 + c)
+                                    for c in range(4)
+                                ] + [
+                                    interp(30 + c, 32 + c, 34 + c)
+                                    for c in range(2)
+                                ]
+                                mat_row = jnp.sum(
+                                    slab[36:37, :] * selw,
+                                    axis=1,
+                                    keepdims=True,
+                                )
+                                lod_row = jnp.sum(
+                                    slab[37:38, :] * selw,
+                                    axis=1,
+                                    keepdims=True,
+                                )
+                                new_attr = jnp.concatenate(
+                                    attrs
+                                    + [
+                                        mat_row,
+                                        lod_row,
+                                        jnp.zeros((8, 1), jnp.float32),
+                                    ],
+                                    axis=1,
+                                )
+                                attr_scr[ro, :] = jnp.where(
+                                    improved, new_attr, attr_scr[ro, :]
+                                )
+                                btri_scr[ro, :] = jnp.where(
+                                    improved,
+                                    cur * CLUSTER_PAD + jg,
+                                    btri_scr[ro, :],
+                                )
+                                bt_scr[ro, :] = jnp.where(
+                                    improved, tmin, btg
+                                )
+
+                            return 0
+
+                        jax.lax.fori_loop(0, 16, group_body, 0)
+                        best_row = jnp.transpose(bt_scr[...], (1, 0))
+                        return (j_ + 1, n, sp, best_row)
+
+                    jax.lax.while_loop(
+                        cond, rs_body, (jnp.int32(0), n0, spp, best_row0)
+                    )
+                    out[k] = jnp.transpose(
+                        jnp.concatenate(
+                            [
+                                bt_scr[...],
+                                btri_scr[...].astype(jnp.float32),
+                                attr_scr[...],
+                                jnp.zeros((tile, 2), jnp.float32),
+                            ],
+                            axis=1,
+                        ),
+                        (1, 0),
+                    )
+                    return
 
                 def body(state):
                     if fused:
@@ -630,7 +865,7 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False):
                     # head slab is in flight (entry invariant n-j_ <=
                     # DMA_DEPTH-1 keeps the write slot disjoint from the
                     # consuming + pending slots)
-                    sp, nxt = find_leaf(sp, best_row, jnp.max(best_row))
+                    sp, nxt, _ = find_leaf(sp, best_row, jnp.max(best_row))
 
                     if not DEBUG_NO_DMA:
                         @pl.when(nxt >= 0)
@@ -941,15 +1176,25 @@ def trace_closest_bvh_full(
     """
     del t_min
     masked = skip_mask is not None
+    rowskip = ROWSKIP and tile == 128 and not masked
     R, R_out, n_steps, cols, rowdata = _prep_bvh(
         ray_o, ray_d, t_max, perm, tile=tile
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 if masked else 2,
-        grid=(n_steps,),
-        in_specs=_in_specs(tile),
-        out_specs=[_out_block(16, tile)],
-        scratch_shapes=[
+    if rowskip:
+        scratch = [
+            pltpu.VMEM((DMA_DEPTH, ROWS_FULL, 128), tris_packed.dtype),
+            pltpu.SMEM((1, STACK_CAP), jnp.int32),
+            pltpu.SMEM((1, STACK_CAP), jnp.float32),
+            pltpu.VMEM((tile, 12), jnp.float32),  # attr_scr
+            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),  # pend
+            pltpu.VMEM((tile, 8), jnp.float32),  # cols_scr
+            pltpu.VMEM((tile, 1), jnp.float32),  # bt_scr
+            pltpu.VMEM((tile, 1), jnp.int32),  # btri_scr
+            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),  # pend_node
+            pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
+        ]
+    else:
+        scratch = [
             pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), tris_packed.dtype),
             pltpu.SMEM((1, STACK_CAP), jnp.int32),
@@ -957,14 +1202,20 @@ def trace_closest_bvh_full(
             pltpu.VMEM((tile, 12), jnp.float32),
             pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
             pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
-        ],
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3 if masked else 2,
+        grid=(n_steps,),
+        in_specs=_in_specs(tile),
+        out_specs=[_out_block(16, tile)],
+        scratch_shapes=scratch,
     )
     n_tiles = n_steps * TILES_PER_STEP
     prefetch = [bounds.reshape(1, -1), meta.reshape(1, -1)]
     if masked:
         prefetch.append(skip_mask.astype(jnp.int32).reshape(1, -1))
     (out,) = pl.pallas_call(
-        _closest_body(fused=True, masked=masked, tile=tile),
+        _closest_body(fused=True, masked=masked, tile=tile, rowskip=rowskip),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 16, tile), jnp.float32),
@@ -1115,6 +1366,27 @@ def trace_primary_bvh_full(
     return out.transpose(0, 2, 1).reshape(T * tile, 16)
 
 
+def pack_hit16(hit):
+    """hit dict -> (R, 16) packed rows (unpack_hit16's inverse; exact —
+    tri/material ids fit f32's 24-bit integer range). Lets callers that
+    produced a dict (the XLA tracer, the alpha-retrace loop) feed the
+    packed-row chunk pipelines in render/pt.py."""
+    R = hit["t"].shape[0]
+    return jnp.concatenate(
+        [
+            hit["t"][:, None],
+            hit["tri"].astype(jnp.float32)[:, None],
+            hit["normal"],
+            hit["tangent"],
+            hit["uv"],
+            hit["material"].astype(jnp.float32)[:, None],
+            hit["tri_lod"][:, None],
+            jnp.zeros((R, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 def unpack_hit16(out):
     """(R, 16) packed closest-full rows -> hit dict (see above)."""
     return {
@@ -1160,19 +1432,24 @@ def _any_body(wide=False, tile=TILE):
             tmax_row = row_ref[k, 6 * nrows:7 * nrows, :]
 
             if wide:
-                init_root, find_leaf = _make_descent8(
+                init_root, find_leaf8 = _make_descent8(
                     nodes_ref, row_ref, kstack, cstack, cursors, k
                 )
+
+                def find_leaf(sp, ub_row, worst):
+                    s_, c_ = find_leaf8(sp, ub_row, worst)
+                    return s_, c_, jnp.int32(-1)
+
                 fp0 = init_root(tmax_row)
-                sp0, c0 = find_leaf(fp0, tmax_row, jnp.max(tmax_row))
+                sp0, c0, _ = find_leaf(fp0, tmax_row, jnp.max(tmax_row))
             else:
-                find_leaf = _make_descent(
+                find_leaf, _enter_mask = _make_descent(
                     bounds_ref, meta_ref, _ray_rows(row_ref, k, nrows),
                     stack_idx, stack_enter, nrows=nrows,
                 )
                 stack_idx[0, 0] = jnp.int32(0)
                 stack_enter[0, 0] = jnp.float32(0.0)
-                sp0, c0 = find_leaf(
+                sp0, c0, _ = find_leaf(
                     jnp.int32(1), tmax_row, jnp.max(tmax_row)
                 )
 
@@ -1186,7 +1463,9 @@ def _any_body(wide=False, tile=TILE):
 
                 def pbody(c):
                     n, sp = c
-                    sp, nxt = find_leaf(sp, tmax_row, jnp.max(tmax_row))
+                    sp, nxt, _ = find_leaf(
+                        sp, tmax_row, jnp.max(tmax_row)
+                    )
 
                     @pl.when(nxt >= 0)
                     def _():
@@ -1204,7 +1483,7 @@ def _any_body(wide=False, tile=TILE):
 
                 def body(state):
                     j_, n, sp, occ, ub_row = state
-                    sp, nxt = find_leaf(sp, ub_row, jnp.max(ub_row))
+                    sp, nxt, _ = find_leaf(sp, ub_row, jnp.max(ub_row))
 
                     @pl.when(nxt >= 0)
                     def _():

@@ -144,18 +144,25 @@ def pt_trace_pixels(
     n_tiles = R // TILE
     CT = min(chunk_tiles, n_tiles)
     width, height = resolution[0], resolution[1]
-    state = prng.make_state(px, py, jnp.uint32(frame_index))
-
-    state, jitter = prng.rnd2d01(state)
-    uv = (
-        jnp.stack([px, py], axis=-1).astype(jnp.float32) + jitter
-    ) / jnp.stack([width, height]).astype(jnp.float32)
-
-    if use_dof:
-        state, lens = prng.rnd2d01(state)
-        ray_o, ray_d = thin_lens_rays(cam, uv, lens)
-    else:
-        ray_o, ray_d = pinhole_rays(cam, uv)
+    def primary_streams(px_, py_):
+        """Per-pixel RNG state + primary ray for (px_, py_) — the
+        reference's camera stream (main.rgen rnd2d01 jitter, then the
+        optional thin-lens draw). Pure elementwise math, so the chunk
+        loop below recomputes its own slice instead of gathering nine
+        channels of full-frame tile views (state u32x3 + o/d f32x3 each
+        materialized a T(4,128)->T(8,128) relayout copy at 1080p —
+        ~1.6 ms per array in the round-4 xplane)."""
+        st = prng.make_state(px_, py_, jnp.uint32(frame_index))
+        st, jitter = prng.rnd2d01(st)
+        uvj = (
+            jnp.stack([px_, py_], axis=-1).astype(jnp.float32) + jitter
+        ) / jnp.stack([width, height]).astype(jnp.float32)
+        if use_dof:
+            st, lens = prng.rnd2d01(st)
+            o_, d_ = thin_lens_rays(cam, uvj, lens)
+        else:
+            o_, d_ = pinhole_rays(cam, uvj)
+        return st, o_, d_
 
     geom = trace.frame_geometry(static_scene, frame)
     tris = geom["tris"]
@@ -526,23 +533,31 @@ def pt_trace_pixels(
     )
     tmax0 = jnp.where(lane_real, jnp.inf, 0.0)
     n_rays = jnp.sum(lane_real.astype(jnp.int32))
-    hit_pre = None
-    if (
+    raygen = (
         pix_packed is not None
         and use_full_kernel
         and bvh is not None
         and not use_dof
-    ):
+    )
+    # Full-frame RNG/ray streams materialize ONLY when something consumes
+    # every row (the XLA/prepacked trace, env miss shading, the alpha
+    # retrace); the chunk loop recomputes its slice via primary_streams.
+    need_full = (not raygen) or (env is not None) or bool(alpha_rounds)
+    state = ray_o = ray_d = None
+    if need_full:
+        state, ray_o, ray_d = primary_streams(px, py)
+
+    from ..ops.trace_bvh import pack_hit16, unpack_hit16
+
+    h16_rows = None
+    hit0 = None
+    if raygen:
         # in-kernel primary raygen: jittered pinhole rays are generated
         # inside the trace kernel from static pixel layouts + camera
         # uniforms (bit-parity pcg3d jitter), so the 2M-ray cols/rowdata
-        # prep and its relayout copies never run. The XLA-side state/
-        # ray_d above still feed shading — same rays, same RNG stream.
-        from ..ops.trace_bvh import (
-            primary_cam_vec,
-            trace_primary_bvh_full,
-            unpack_hit16,
-        )
+        # prep and its relayout copies never run. Shading chunks
+        # recompute the matching RNG stream from px/py — same rays.
+        from ..ops.trace_bvh import primary_cam_vec, trace_primary_bvh_full
 
         h16 = trace_primary_bvh_full(
             packed_full,
@@ -553,22 +568,33 @@ def pt_trace_pixels(
             primary_cam_vec(cam, width, height),
             jnp.full((1, 4), frame_index, jnp.int32),
         )
-        hit_pre = unpack_hit16(h16[:R])
-    hit0 = trace_with_alpha(
-        state, ray_o, ray_d, tmax0, compact=True, hit=hit_pre
-    )
+        h16_rows = h16[:R]
+        if alpha_rounds:
+            hit0 = trace_with_alpha(
+                state, ray_o, ray_d, tmax0, compact=True,
+                hit=unpack_hit16(h16_rows),
+            )
+            h16_rows = pack_hit16(hit0)
+        hit_tri = h16_rows[:, 1]
+    else:
+        hit0 = trace_with_alpha(state, ray_o, ray_d, tmax0, compact=True)
+        if use_full_kernel:
+            # chunks gather ONE packed (R, 16) array instead of seven
+            # per-field tile views (each a full relayout copy)
+            h16_rows = pack_hit16(hit0)
+        hit_tri = hit0["tri"].astype(jnp.float32)
 
     color_full = jnp.zeros((R, 3), jnp.float32)
     if env is not None:
         from ..ops.ibl import sample_cubemap
 
-        missed = lane_real & (hit0["tri"] < 0)
+        missed = lane_real & (hit_tri < 0)
         color_full = jnp.where(
             missed[..., None], sample_cubemap(env, ray_d), 0.0
         )
 
     # ---- tile compaction: keep 256-ray tiles containing any hit ----
-    hit_lane = (hit0["tri"] >= 0) & lane_real
+    hit_lane = (hit_tri >= 0) & lane_real
     tile_any = jnp.any(hit_lane.reshape(n_tiles, TILE), axis=1)
     # Pad tidx to a CT multiple so the chunk dynamic_slice never clamps
     # (a clamped start re-reads earlier tiles and the color_full scatter
@@ -591,11 +617,12 @@ def pt_trace_pixels(
             k *= s
         return a.reshape(n_tiles, TILE * k)
 
-    state_t = _tile_view(state)
-    o_t = _tile_view(ray_o)
-    d_t = _tile_view(ray_d)
-    hit0_t = {k: _tile_view(v) for k, v in hit0.items()}
-    lane_real_t = _tile_view(lane_real)
+    px_t = px.reshape(n_tiles, TILE)
+    py_t = py.reshape(n_tiles, TILE)
+    if h16_rows is not None:
+        h16_t = h16_rows.reshape(n_tiles, TILE * 16)
+    else:
+        hit0_t = {k: _tile_view(v) for k, v in hit0.items()}
 
     def tgather_t(at, like, slc):
         return at[slc].reshape((CT * TILE,) + like.shape[1:])
@@ -607,15 +634,25 @@ def pt_trace_pixels(
         slc = jnp.minimum(sl, n_tiles - 1)
         lane_ok = jnp.repeat(tile_ok, TILE)
 
-        c_state = tgather_t(state_t, state, slc)
-        c_o = tgather_t(o_t, ray_o, slc)
-        c_d = tgather_t(d_t, ray_d, slc)
-        c_hit = {k: tgather_t(hit0_t[k], v, slc) for k, v in hit0.items()}
-        c_active = (
-            (c_hit["tri"] >= 0)
-            & lane_ok
-            & tgather_t(lane_real_t, lane_real, slc)
+        # recompute this chunk's RNG/ray streams from px/py (two u32
+        # channels) instead of gathering nine channels of tile views —
+        # bit-identical, primary_streams is pure per-pixel math
+        c_state, c_o, c_d = primary_streams(
+            tgather_t(px_t, px, slc), tgather_t(py_t, py, slc)
         )
+        if h16_rows is not None:
+            c_hit = unpack_hit16(h16_t[slc].reshape(CT * TILE, 16))
+        else:
+            c_hit = {
+                k: tgather_t(hit0_t[k], v, slc) for k, v in hit0.items()
+            }
+        # lane reality is positional (global ray index < R0), so it is
+        # derived from the tile ids — no gather
+        c_lanes = (
+            slc[:, None] * TILE
+            + jnp.arange(TILE, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        c_active = (c_hit["tri"] >= 0) & lane_ok & (c_lanes < R0)
         c_color = jnp.zeros((CT * TILE, 3), jnp.float32)
         c_thr = jnp.ones((CT * TILE, 3), jnp.float32)
         n_extra = jnp.int32(0)

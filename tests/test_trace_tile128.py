@@ -87,8 +87,18 @@ def test_closest_full_tile128_matches_tile256():
             packed, bounds, meta, jnp.asarray(o), jnp.asarray(d), 1e-4,
             np.inf, tile=128,
         )
-    for k in base:
+    # hit selection must be exact; the barycentric attr interpolation may
+    # differ by 1 ulp between packet widths (the tile=128 row-skip path
+    # interpolates on (8, 128) row groups, and XLA contracts the FMA
+    # chain differently at that shape)
+    for k in ("t", "tri", "material", "tri_lod"):
         np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(got[k]))
+    for k in ("normal", "tangent", "uv"):
+        sel = np.asarray(base["tri"]) >= 0
+        np.testing.assert_allclose(
+            np.asarray(got[k])[sel], np.asarray(base[k])[sel],
+            rtol=0, atol=1e-6,
+        )
 
 
 def test_bounce_tile_policy_is_semantics_free():
