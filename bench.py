@@ -238,12 +238,20 @@ def main() -> int:
         prev = None
         for i in range(BENCH_FRAMES):
             color, n_rays = run(WARMUP_FRAMES + i)
+            # The forcing reduction is enqueued immediately after ITS OWN
+            # frame: blocking on it later waits only through frame i's
+            # tail. (Blocking on a mean dispatched after frame i+1 —
+            # the old structure — serialized the whole pipeline: the
+            # device queue is in-order, so that mean completed only when
+            # frame i+1 did. Measured: 166 ms/frame serialized vs 143
+            # pipelined on the same build.)
+            mean = color.mean()
             frames.append(n_rays)
             if prev is not None:
-                float(prev.mean())
+                float(prev)
                 marks.append(time.perf_counter())
-            prev = color
-        float(prev.mean())
+            prev = mean
+        float(prev)
         marks.append(time.perf_counter())
 
         ray_counts = [int(n) for n in frames]
@@ -311,12 +319,23 @@ def main() -> int:
             for i in range(2):  # warmup/compile
                 img, state = run_mode(i, state)
                 float(img.mean())
+            # Two frames in flight like the CLI loop (and the PT bench
+            # above): per-frame forcing means enqueued with their own
+            # frame, median inter-completion interval as the frame time.
             times = []
-            for i in range(5):
-                t0 = time.perf_counter()
+            prev = None
+            t_prev = time.perf_counter()
+            for i in range(7):
                 img, state = run_mode(2 + i, state)
-                float(img.mean())
-                times.append(time.perf_counter() - t0)
+                mean = img.mean()
+                if prev is not None:
+                    float(prev)
+                    t_now = time.perf_counter()
+                    times.append(t_now - t_prev)
+                    t_prev = t_now
+                prev = mean
+            float(prev)
+            times.append(time.perf_counter() - t_prev)
             times.sort()
             out[mode] = times[len(times) // 2] * 1e3
             RESULT[f"{mode}_ms"] = round(out[mode], 1)

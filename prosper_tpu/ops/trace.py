@@ -97,6 +97,9 @@ def prepare_geometry(static_scene: dict, transforms, normal_transforms):
 
         out["packed9"] = trace_pallas.pack_tris(out["tris"])
         out["packed_full"] = pack_tris_full(static_scene, frame_like)
+        from .trace_bvh import attr_rows_from_packed
+
+        out["attr_rows"] = attr_rows_from_packed(out["packed_full"])
     return out
 
 

@@ -242,28 +242,14 @@ def _raygen_tile(cam_ref, i_ref, pix):
     return ox, oy, oz, dx, dy, dz, guard(dx), guard(dy), guard(dz), tmax
 
 
-def _make_descent(bounds_ref, meta_ref, rows, stack_idx, stack_enter,
-                  mask_ref=None, nrows=_NROWS):
-    """Build the find_leaf closure over one ray tile's row data.
-
-    rows: (oxr, oyr, ozr, ixr, iyr, izr) — each (nrows, 128) f32, either
-    sliced from the prepacked rowdata ref or computed in-kernel (the
-    raygen primary variant).
-
-    find_leaf(sp, ub_row, worst) pops the stack until a leaf whose AABB
-    some ray enters before its personal upper bound is found. Returns
-    (sp, leaf_cluster(-1 when exhausted)). Children are tested per-ray at
-    parent pop and pushed far-first with their min entry distance.
-
-    mask_ref (1, C) i32: per-cluster visibility (0 = culled); masked
-    leaves are skipped without a slab DMA — the two-phase meshlet cull's
-    draw-list analog riding the BVH kernel (draw_list_culler.comp).
-    """
+def _node_enter_fn(bounds_ref, rows):
+    """node_enter(i, ub_row) closure over one ray tile's row data:
+    per-ray slab test of BVH node i, reduced to the min entry over
+    passing rays (scalar; _INF when no ray passes). Shared by the stack
+    descent and the dense-cull descent's per-pop retest."""
     oxr, oyr, ozr, ixr, iyr, izr = rows
 
     def node_enter(i, ub_row):
-        """Per-ray slab test of node i: min entry over passing rays
-        (scalar; _INF when no ray passes)."""
         if DEBUG_FAKE_ENTER:
             return jnp.float32(0.0)
         b = 6 * i
@@ -283,6 +269,29 @@ def _make_descent(bounds_ref, meta_ref, rows, stack_idx, stack_enter,
         )
         ok = (enter <= exit_) & (enter < ub_row)
         return jnp.min(jnp.where(ok, enter, _INF))
+
+    return node_enter
+
+
+def _make_descent(bounds_ref, meta_ref, rows, stack_idx, stack_enter,
+                  mask_ref=None, nrows=_NROWS):
+    """Build the find_leaf closure over one ray tile's row data.
+
+    rows: (oxr, oyr, ozr, ixr, iyr, izr) — each (nrows, 128) f32, either
+    sliced from the prepacked rowdata ref or computed in-kernel (the
+    raygen primary variant).
+
+    find_leaf(sp, ub_row, worst) pops the stack until a leaf whose AABB
+    some ray enters before its personal upper bound is found. Returns
+    (sp, leaf_cluster(-1 when exhausted)). Children are tested per-ray at
+    parent pop and pushed far-first with their min entry distance.
+
+    mask_ref (1, C) i32: per-cluster visibility (0 = culled); masked
+    leaves are skipped without a slab DMA — the two-phase meshlet cull's
+    draw-list analog riding the BVH kernel (draw_list_culler.comp).
+    """
+    oxr, oyr, ozr, ixr, iyr, izr = rows
+    node_enter = _node_enter_fn(bounds_ref, rows)
 
     def enter_mask(i, ub_row):
         """Per-ray pass mask of node i vs the per-ray upper bounds —
@@ -372,6 +381,93 @@ def _make_descent(bounds_ref, meta_ref, rows, stack_idx, stack_enter,
         return sp, found, fnode
 
     return find_leaf, enter_mask
+
+
+def _make_descent_dense(bounds_ref, node_of_ref, caabb_ref, rows,
+                        entry_scr):
+    """Dense-cull descent for incoherent packets: replaces the BVH2
+    stack walk (~180 pops x scalar-sync'd node tests per 128-ray bounce
+    packet) with ONE vectorized all-rays x all-clusters slab pass +
+    front-to-back argmin pops.
+
+    - init_entries(cols..): per-cluster min entry distance over the
+      packet, computed in (tile, 128)-cluster chunks at full VPU lane
+      occupancy, written to entry_scr (8, CW) with cluster c at
+      [c // CW, c % CW].
+    - find_leaf(sp, ub_row, worst): argmin-pop the nearest unvisited
+      cluster; a popped cluster is retested per-ray against the CURRENT
+      upper bounds (node_enter on its leaf node via node_of_ref) so
+      Moller work shrinks as hits land, exactly like the stack path's
+      leaf test. Exhausted when the min entry >= the packet's worst
+      personal bound — the same front-to-back termination the ordered
+      stack descent provides, at ~3 vector->scalar syncs per VISIT
+      instead of per node pop.
+
+    caabb_ref: (8, C_pad) VMEM — cluster AABBs lane-major, rows
+    [min.xyz | max.xyz | pad pad]; pad/culled clusters carry min > max
+    so the slab test rejects them. node_of_ref: (1, C) i32 scalar
+    prefetch mapping cluster id -> its BVH leaf node.
+    """
+    node_enter = _node_enter_fn(bounds_ref, rows)
+    CW = entry_scr.shape[1]
+    C_pad = 8 * CW
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (8, CW), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (8, CW), 1)
+    cid = i0 * CW + i1
+
+    def init_entries(ox, oy, oz, dx, dy, dz, tmax_col):
+        ix = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, jnp.float32(1e30))
+        iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e30))
+        iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e30))
+        for j in range(C_pad // 128):
+            b = caabb_ref[0:6, 128 * j:128 * (j + 1)]  # (6, 128)
+            t0x = (b[0:1] - ox) * ix
+            t1x = (b[3:4] - ox) * ix
+            t0y = (b[1:2] - oy) * iy
+            t1y = (b[4:5] - oy) * iy
+            t0z = (b[2:3] - oz) * iz
+            t1z = (b[5:6] - oz) * iz
+            enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            exit_ = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            ok = (enter <= exit_) & (enter < tmax_col)
+            em = jnp.min(
+                jnp.where(ok, enter, _INF), axis=0, keepdims=True
+            )  # (1, 128)
+            r = (128 * j) // CW
+            cs = (128 * j) % CW
+            entry_scr[r:r + 1, cs:cs + 128] = em
+
+    def find_leaf(sp, ub_row, worst):
+        def cond(c):
+            return c[0]
+
+        def body(c):
+            e = entry_scr[...]
+            m = jnp.min(e)
+
+            def pop():
+                cand = jnp.min(
+                    jnp.where(e == m, cid, jnp.int32(0x7FFFFFFF))
+                )
+                entry_scr[...] = jnp.where(cid == cand, _INF, e)
+                en = node_enter(node_of_ref[0, cand], ub_row)
+                return jnp.where(en < _INF, cand, jnp.int32(-1))
+
+            found = jax.lax.cond(
+                (m < worst) & (m < _INF), pop, lambda: jnp.int32(-2)
+            )
+            return (found == -1, found)
+
+        _, found = jax.lax.while_loop(cond, body, (True, jnp.int32(-1)))
+        return sp, jnp.maximum(found, -1), jnp.int32(-1)
+
+    return find_leaf, init_entries
 
 
 _KEY_INF = 0x7F61B1E0  # key bits of _INF (3e38): masked-slot sentinel threshold
@@ -531,7 +627,7 @@ def _make_descent8(nodes_ref, row_ref, kstack, cstack, cursors, k):
 
 
 def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
-                  rowskip=False):
+                  rowskip=False, tile_masked=False, dense=False):
     """Kernel body shared by the plain and fused closest-hit variants.
     Processes TILES_PER_STEP ray tiles per grid step. wide=True uses the
     8-wide descent over a pack_nodes8 table instead of BVH2 SMEM scalars.
@@ -543,17 +639,36 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
     instead of reading prepacked ray data — the 2M-ray XLA prep
     (cols/rowdata relayout copies) disappears from the frame.
     rowskip=True (fused 128-ray packets) runs Möller/attrs only on the
-    8-row ray groups entering each leaf (see the rs_body comment)."""
+    8-row ray groups entering each leaf (see the rs_body comment).
+    tile_masked=True (raygen only) takes a per-RAY-TILE liveness
+    prefetch (primary_tile_mask): dead tiles skip raygen, descent init
+    and the root test entirely and just write miss rows — on a
+    sparse-coverage frame ~90 % of the 16x16 pixel tiles never overlap
+    any cluster AABB, and their per-tile fixed cost (~2.7 us: two
+    _raygen_tile evaluations + descent init + root test + state setup)
+    dominated the primary trace."""
     nrows = tile // 128
     assert wide is False or tile == TILE, "wide descent is 256-ray only"
     assert not (raygen and (wide or masked)), "raygen is BVH2, unmasked"
+    assert not tile_masked or raygen, "tile mask is the raygen variant"
     assert not rowskip or (
         fused and not wide and not masked and not raygen and tile == 128
     ), "rowskip is the fused BVH2 128-ray bounce variant"
+    assert not dense or not (
+        fused or wide or masked or raygen or rowskip
+    ), "dense cull is the plain incoherent-packet variant"
 
     def kernel(*args):
         mask_ref = None
-        if raygen:
+        tmask_ref = None
+        node_of_ref = caabb_ref = None
+        if dense:
+            (bounds_ref, meta_ref, node_of_ref, cols_ref, row_ref,
+             caabb_ref, tris_hbm, *rest) = args
+        elif raygen and tile_masked:
+            (bounds_ref, meta_ref, cam_ref, i_ref, tmask_ref, cols_ref,
+             row_ref, tris_hbm, *rest) = args
+        elif raygen:
             (bounds_ref, meta_ref, cam_ref, i_ref, cols_ref, row_ref,
              tris_hbm, *rest) = args
         elif wide:
@@ -578,6 +693,8 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
         elif fused:
             (out, tri_slab, attr_slab, stack_idx, stack_enter, attr_scr,
              pend, sems) = rest
+        elif dense:
+            (out, tri_slab, entry_scr, pend, sems) = rest
         else:
             (out, tri_slab, stack_idx, stack_enter, pend, sems) = rest
 
@@ -595,7 +712,7 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
                 sems.at[slot]
             )
 
-        def tile_body(k, _):
+        def trace_tile(k):
             if raygen:
                 # cols_ref/row_ref hold PIXEL data (3 ch: px, py, tmax)
                 pc = jnp.transpose(cols_ref[k], (1, 0))  # (tile, 3)
@@ -640,6 +757,14 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
                 fp0 = init_root(best_row0)
                 sp0, c0, node0 = find_leaf(
                     fp0, best_row0, jnp.max(best_row0)
+                )
+            elif dense:
+                find_leaf, init_entries = _make_descent_dense(
+                    bounds_ref, node_of_ref, caabb_ref, rows, entry_scr
+                )
+                init_entries(ox, oy, oz, dx, dy, dz, tmax_col)
+                sp0, c0, node0 = find_leaf(
+                    jnp.int32(1), best_row0, jnp.max(best_row0)
                 )
             else:
                 find_leaf, enter_mask = _make_descent(
@@ -1069,6 +1194,36 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
                     get_dma(0, c0).start()
                 run_pipeline()
 
+        def tile_body(k, _):
+            if tile_masked:
+                # per-step (1, TILES_PER_STEP) VMEM block (NOT scalar
+                # prefetch + program_id: the Pallas HLO interpreter used
+                # by the CPU tests has no program_id lowering)
+                live = tmask_ref[0, k]
+
+                @pl.when(live == 0)
+                def _():
+                    # dead tile (its ray bundle provably overlaps no
+                    # cluster AABB): miss rows written channel-major —
+                    # t = the static per-lane budget (inf real, 0 pad),
+                    # tri = -1, attrs 0 — with no raygen, descent init,
+                    # root test or transpose
+                    out[k] = jnp.concatenate(
+                        [
+                            cols_ref[k, 2:3, :],
+                            jnp.full((1, tile), -1.0, jnp.float32),
+                            jnp.zeros(
+                                (14 if fused else 6, tile), jnp.float32
+                            ),
+                        ],
+                        axis=0,
+                    )
+
+                @pl.when(live != 0)
+                def _():
+                    trace_tile(k)
+            else:
+                trace_tile(k)
             return 0
 
         jax.lax.fori_loop(0, TILES_PER_STEP, tile_body, 0)
@@ -1095,7 +1250,7 @@ def _out_block(width=1, tile=TILE):
     )
 
 
-@partial(jax.jit, static_argnames=("tile",))
+@partial(jax.jit, static_argnames=("tile", "packed"))
 def trace_closest_bvh(
     tris_packed: jnp.ndarray,  # (C, 9, 128)
     bounds: jnp.ndarray,  # (N, 6) f32
@@ -1107,11 +1262,14 @@ def trace_closest_bvh(
     skip_mask=None,
     perm=None,
     tile: int = TILE,
+    packed: bool = False,
 ):
     """BVH closest-hit; same contract as trace.trace_closest (t_min fixed
     at 1e-4 in-kernel like the round-1 kernels). skip_mask: see
     trace_closest_bvh_full. perm: optional ray sort fused into ray prep
-    (results come back in SORTED order)."""
+    (results come back in SORTED order). packed=True returns the raw
+    (R, 8) rows so a caller inverting a sort pays one gather
+    (unpack_hit8 recovers the dict)."""
     del t_min
     masked = skip_mask is not None
     R, R_out, n_steps, cols, rowdata = _prep_bvh(
@@ -1142,12 +1300,106 @@ def trace_closest_bvh(
         ],
     )(*prefetch, cols, rowdata, tris_packed)
     out = out.transpose(0, 2, 1).reshape(R, 8)[:R_out]
-    return {
-        "t": out[:, 0],
-        "tri": out[:, 1].astype(jnp.int32),
-        "u": out[:, 2],
-        "v": out[:, 3],
-    }
+    if packed:
+        return out
+    return unpack_hit8(out)
+
+
+def _dense_aux(C, bounds, meta, skip_mask=None):
+    """(node_of, caabb8) for the dense-cull kernels: cluster -> BVH leaf
+    node map (1, C) i32 and cluster AABBs laid out lane-major (8, C_pad)
+    [min.xyz | max.xyz | pad], C_pad a 1024-multiple so the kernel's
+    (8, C_pad/8) entry scratch has 128-aligned rows. Culled (skip_mask)
+    and pad clusters carry min > max (always-fail slab)."""
+    N = meta.shape[0]
+    leaf = meta[:, 2]
+    is_leaf = leaf >= 0
+    idx = jnp.where(is_leaf, leaf, C)
+    node_of = jnp.zeros((C,), jnp.int32).at[idx].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    )
+    caabb = bounds[node_of]  # (C, 6) — the BVH's own leaf boxes
+    dead = jnp.asarray(
+        [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32
+    )
+    if skip_mask is not None:
+        caabb = jnp.where(skip_mask.astype(bool)[:, None], caabb, dead)
+    C_pad = -(-C // 1024) * 1024
+    if C_pad > C:
+        caabb = jnp.concatenate(
+            [caabb, jnp.broadcast_to(dead, (C_pad - C, 6))], axis=0
+        )
+    caabb8 = jnp.concatenate(
+        [caabb.T, jnp.zeros((2, C_pad), jnp.float32)], axis=0
+    )
+    return node_of.reshape(1, -1), caabb8
+
+
+@partial(jax.jit, static_argnames=("tile", "packed"))
+def trace_closest_bvh_dense(
+    tris_packed: jnp.ndarray,  # (C, >=9, 128)
+    bounds: jnp.ndarray,  # (N, 6) f32
+    meta: jnp.ndarray,  # (N, 3) i32
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+    skip_mask=None,
+    perm=None,
+    tile: int = 128,
+    packed: bool = False,
+):
+    """Closest-hit over the dense-cull descent (_make_descent_dense):
+    same contract/results as trace_closest_bvh, built for INCOHERENT
+    bounce wavefronts where the stack walk's per-pop scalar syncs
+    dominate (~50 of the 57.8 ms bounce-closest share of the 1080p PT
+    frame; Möller is ~6 ms)."""
+    del t_min
+    C = tris_packed.shape[0]
+    node_of, caabb8 = _dense_aux(C, bounds, meta, skip_mask)
+    C_pad = caabb8.shape[1]
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(
+        ray_o, ray_d, t_max, perm, tile=tile
+    )
+    in_specs = _in_specs(tile)
+    in_specs.insert(
+        2,
+        pl.BlockSpec(
+            (8, C_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=[_out_block(8, tile)],
+        scratch_shapes=[
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
+            pltpu.VMEM((8, C_pad // 8), jnp.float32),
+            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
+        ],
+    )
+    n_tiles = n_steps * TILES_PER_STEP
+    (out,) = pl.pallas_call(
+        _closest_body(fused=False, tile=tile, dense=True),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 8, tile), jnp.float32),
+        ],
+    )(
+        bounds.reshape(1, -1),
+        meta.reshape(1, -1),
+        node_of,
+        cols,
+        rowdata,
+        caabb8,
+        tris_packed,
+    )
+    out = out.transpose(0, 2, 1).reshape(R, 8)[:R_out]
+    if packed:
+        return out
+    return unpack_hit8(out)
 
 
 @partial(jax.jit, static_argnames=("packed", "tile"))
@@ -1259,6 +1511,90 @@ def pack_pixels_np(px, py, tile=TILE):
     return cols, rows, R0
 
 
+def tile_px_bounds_np(px, py, tile=TILE):
+    """Static per-ray-tile pixel bounds for primary_tile_mask:
+    (T, 4) f32 [px_min, px_max, py_min, py_max] over each tile's REAL
+    lanes (pad lanes excluded; all-pad tiles get an empty min>max range
+    so the mask test rejects them). T matches pack_pixels_np."""
+    import numpy as np
+
+    R0 = int(px.shape[0])
+    pad = (-R0) % (TILES_PER_STEP * tile)
+    big = np.float32(1e9)
+    pxp = np.concatenate(
+        [np.asarray(px, np.float32), np.full(pad, big, np.float32)]
+    )
+    pyp = np.concatenate(
+        [np.asarray(py, np.float32), np.full(pad, big, np.float32)]
+    )
+    T = pxp.shape[0] // tile
+    pxt = pxp.reshape(T, tile)
+    pyt = pyp.reshape(T, tile)
+    real = pxt < big
+    px_min = np.where(real, pxt, big).min(axis=1)
+    px_max = np.where(real, pxt, -big).max(axis=1)
+    py_min = np.where(real, pyt, big).min(axis=1)
+    py_max = np.where(real, pyt, -big).max(axis=1)
+    return np.stack([px_min, px_max, py_min, py_max], axis=1).astype(
+        np.float32
+    )
+
+
+def primary_tile_mask(cam_vec, tile_px, wc_min, wc_max, skip_mask=None):
+    """(T,) i32 conservative per-ray-tile liveness for the raygen
+    kernel: interval-arithmetic slab test of each 16x16 pixel tile's
+    pinhole ray bundle against EVERY cluster AABB (hits only occur
+    inside cluster AABBs, so a tile overlapping none is provably all-
+    miss — tighter than the kernel's own root test, which keeps tiles
+    alive anywhere inside the scene's bounding box).
+
+    cam_vec: primary_cam_vec uniforms — directions are affine in the
+    jittered (ux, uy), so each tile's direction range per axis is the
+    interval hull of its pixel-bounds corners (+1 px of jitter when the
+    per-pixel pcg jitter is on); unnormalized directions are fine (slab
+    overlap is invariant under positive scaling). skip_mask (C,): the
+    per-cluster culling mask — culled clusters are excluded, so the
+    tile mask composes with two-phase culling."""
+    from .intersect import packet_aabb_overlap_2d
+
+    eye = cam_vec[0, 0:3]
+    A = cam_vec[0, 3:6]
+    B = cam_vec[0, 6:9]
+    Cv = cam_vec[0, 9:12]
+    W = cam_vec[0, 12]
+    H = cam_vec[0, 13]
+    offx = cam_vec[0, 14]
+    offy = cam_vec[0, 15]
+    pcg_on = cam_vec[0, 16]
+    T = tile_px.shape[0]
+    ux_lo = (tile_px[:, 0] + offx) / W
+    ux_hi = (tile_px[:, 1] + pcg_on + offx) / W
+    uy_lo = (tile_px[:, 2] + offy) / H
+    uy_hi = (tile_px[:, 3] + pcg_on + offy) / H
+
+    d_lo, d_hi = [], []
+    for ax in range(3):
+        ua = jnp.minimum(ux_lo * A[ax], ux_hi * A[ax])
+        ub = jnp.maximum(ux_lo * A[ax], ux_hi * A[ax])
+        va = jnp.minimum(uy_lo * B[ax], uy_hi * B[ax])
+        vb = jnp.maximum(uy_lo * B[ax], uy_hi * B[ax])
+        d_lo.append(ua + va + Cv[ax])
+        d_hi.append(ub + vb + Cv[ax])
+    d_lo = jnp.stack(d_lo, axis=-1)
+    d_hi = jnp.stack(d_hi, axis=-1)
+    o = jnp.broadcast_to(eye, (T, 3))
+    bmin, bmax = wc_min, wc_max
+    if skip_mask is not None:
+        live_c = skip_mask.astype(bool)[:, None]
+        bmin = jnp.where(live_c, wc_min, 1.0)
+        bmax = jnp.where(live_c, wc_max, 0.0)  # min > max: excluded
+    ov = packet_aabb_overlap_2d(
+        o, o, d_lo, d_hi, bmin, bmax, jnp.full((T,), _INF, jnp.float32)
+    )
+    real = tile_px[:, 1] >= tile_px[:, 0]
+    return (jnp.any(ov, axis=1) & real).astype(jnp.int32)
+
+
 def primary_cam_vec(cam: dict, width, height, pixel_jitter=None,
                     y_offset=0.0):
     """(1, 24) f32 camera uniforms for the raygen kernel: the affine
@@ -1310,6 +1646,7 @@ def trace_primary_bvh_full(
     pix_rows: jnp.ndarray,  # (T, 3*nrows, 128) f32
     cam_vec: jnp.ndarray,  # (1, 24) f32 from primary_cam_vec
     i_vec: jnp.ndarray,  # (1, 4) i32 [frame_index, 0, 0, 0]
+    tile_mask: jnp.ndarray | None = None,  # (T,) i32 primary_tile_mask
 ):
     """Fused closest-hit over in-kernel-generated jittered pinhole
     primary rays (trace_closest_bvh_full contract, packed rows out).
@@ -1317,26 +1654,42 @@ def trace_primary_bvh_full(
     The jitter is the reference's per-pixel rnd2d01 camera jitter
     (main.rgen), bit-parity with the XLA-side RNG stream. Returns
     (T*tile, 16) packed hit rows — callers slice [:R] and unpack_hit16.
+    tile_mask: optional per-ray-tile liveness (primary_tile_mask) —
+    masked-dead tiles skip raygen/descent and write miss rows.
     """
     T, _, tile = pix_cols.shape
     nrows = tile // 128
     n_steps = T // TILES_PER_STEP
+    tile_masked = tile_mask is not None
+    in_specs = [
+        pl.BlockSpec(
+            (TILES_PER_STEP, 3, tile),
+            lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (TILES_PER_STEP, 3 * nrows, 128),
+            lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if tile_masked:
+        # per-step (1, TILES_PER_STEP) VMEM block so the kernel indexes
+        # it with the LOCAL tile id (no program_id — unsupported by the
+        # Pallas HLO interpreter the CPU tests run under)
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (1, TILES_PER_STEP),
+                lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(
-                (TILES_PER_STEP, 3, tile),
-                lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (TILES_PER_STEP, 3 * nrows, 128),
-                lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[_out_block(16, tile)],
         scratch_shapes=[
             pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
@@ -1348,8 +1701,15 @@ def trace_primary_bvh_full(
             pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
         ],
     )
+    inputs = [pix_cols, pix_rows, tris_packed]
+    if tile_masked:
+        inputs.insert(
+            0,
+            tile_mask.astype(jnp.int32).reshape(n_steps, TILES_PER_STEP),
+        )
     (out,) = pl.pallas_call(
-        _closest_body(fused=True, tile=tile, raygen=True),
+        _closest_body(fused=True, tile=tile, raygen=True,
+                      tile_masked=tile_masked),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, 16, tile), jnp.float32),
@@ -1359,9 +1719,7 @@ def trace_primary_bvh_full(
         meta.reshape(1, -1),
         cam_vec,
         i_vec.astype(jnp.int32),
-        pix_cols,
-        pix_rows,
-        tris_packed,
+        *inputs,
     )
     return out.transpose(0, 2, 1).reshape(T * tile, 16)
 
@@ -1387,6 +1745,65 @@ def pack_hit16(hit):
     )
 
 
+def unpack_hit8(out):
+    """(R, 8) packed plain-closest rows -> geometry-only hit dict."""
+    return {
+        "t": out[:, 0],
+        "tri": out[:, 1].astype(jnp.int32),
+        "u": out[:, 2],
+        "v": out[:, 3],
+    }
+
+
+def attr_rows_from_packed(tris_packed_full):
+    """(C, 40, 128) fused slabs -> (C*128, 32) per-TRIANGLE attribute
+    rows (channels = slab rows 9:38 + pad), row-gatherable by global tri
+    id (c * CLUSTER_PAD + lane). Feeds attrs_from_hit_rows: incoherent
+    bounce wavefronts trace through the PLAIN 9-row kernel (no per-visit
+    attribute DMA/interpolation) and interpolate attributes once, at the
+    winning hit only. Computed once per geometry in
+    trace.prepare_geometry (a 12 MB transpose), not per frame."""
+    C = tris_packed_full.shape[0]
+    a = tris_packed_full[:, ROWS_PLAIN:38, :].astype(jnp.float32)
+    a = jnp.transpose(a, (0, 2, 1)).reshape(C * 128, 29)
+    return jnp.concatenate(
+        [a, jnp.zeros((C * 128, 3), jnp.float32)], axis=1
+    )
+
+
+def attrs_from_hit_rows(attr_rows, hit):
+    """Deferred attribute interpolation for plain-kernel hits: ONE
+    (R, 32) row gather by winning tri id + the same barycentric blend
+    the fused kernel runs per improved visit (_closest_body interp:
+    slab rows 9:38 = n0 n1 n2 | t0 t1 t2 | uv0 uv1 uv2 | material |
+    lod). Returns the trace_closest_bvh_full hit dict.
+
+    For incoherent wavefronts the fused kernel's per-visit attribute
+    work (31-row DMA + ~12 (tile, 128) interp/select ops on nearly
+    every union visit) is pure overhead — only the final hit's
+    attributes are observable. Deferring them to one row gather
+    (measured ~42 ns/row on v5e) trades ~1.4 ms per 32k-ray chunk for
+    the per-visit cost on every one of its ~27 union visits/packet."""
+    tri = jnp.maximum(hit["tri"], 0)
+    a = attr_rows[tri]  # (R, 32)
+    u = hit["u"][:, None]
+    v = hit["v"][:, None]
+    w_b = 1.0 - u - v
+    normal = w_b * a[:, 0:3] + u * a[:, 3:6] + v * a[:, 6:9]
+    tangent = w_b * a[:, 9:13] + u * a[:, 13:17] + v * a[:, 17:21]
+    uv = w_b * a[:, 21:23] + u * a[:, 23:25] + v * a[:, 25:27]
+    miss = hit["tri"] < 0
+    return {
+        "t": hit["t"],
+        "tri": hit["tri"],
+        "normal": jnp.where(miss[:, None], 0.0, normal),
+        "tangent": jnp.where(miss[:, None], 0.0, tangent),
+        "uv": jnp.where(miss[:, None], 0.0, uv),
+        "material": jnp.where(miss, 0, a[:, 27].astype(jnp.int32)),
+        "tri_lod": jnp.where(miss, 0.0, a[:, 28]),
+    }
+
+
 def unpack_hit16(out):
     """(R, 16) packed closest-full rows -> hit dict (see above)."""
     return {
@@ -1400,14 +1817,19 @@ def unpack_hit16(out):
     }
 
 
-def _any_body(wide=False, tile=TILE):
+def _any_body(wide=False, tile=TILE, dense=False):
     nrows = tile // 128
     assert wide is False or tile == TILE, "wide descent is 256-ray only"
+    assert not (wide and dense)
 
     def kernel(*args):
         if wide:
             (nodes_ref, cols_ref, row_ref, tris_hbm, occ_out, tri_slab,
              kstack, cstack, cursors, pend, sems) = args
+        elif dense:
+            (bounds_ref, meta_ref, node_of_ref, cols_ref, row_ref,
+             caabb_ref, tris_hbm, occ_out, tri_slab, entry_scr, pend,
+             sems) = args
         else:
             (bounds_ref, meta_ref, cols_ref, row_ref, tris_hbm, occ_out,
              tri_slab, stack_idx, stack_enter, pend, sems) = args
@@ -1442,6 +1864,15 @@ def _any_body(wide=False, tile=TILE):
 
                 fp0 = init_root(tmax_row)
                 sp0, c0, _ = find_leaf(fp0, tmax_row, jnp.max(tmax_row))
+            elif dense:
+                find_leaf, init_entries = _make_descent_dense(
+                    bounds_ref, node_of_ref, caabb_ref,
+                    _ray_rows(row_ref, k, nrows), entry_scr,
+                )
+                init_entries(ox, oy, oz, dx, dy, dz, tmax)
+                sp0, c0, _ = find_leaf(
+                    jnp.int32(1), tmax_row, jnp.max(tmax_row)
+                )
             else:
                 find_leaf, _enter_mask = _make_descent(
                     bounds_ref, meta_ref, _ray_rows(row_ref, k, nrows),
@@ -1574,6 +2005,64 @@ def trace_any_bvh(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32)],
     )(bounds.reshape(1, -1), meta.reshape(1, -1), cols, rowdata, tris_packed)
+    return (occ.reshape(R) > 0)[:R_out]
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def trace_any_bvh_dense(
+    tris_packed: jnp.ndarray,  # (C, >=9, 128)
+    bounds: jnp.ndarray,
+    meta: jnp.ndarray,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    t_min,
+    t_max,
+    skip_mask=None,
+    perm=None,
+    tile: int = 128,
+):
+    """Any-hit over the dense-cull descent; same contract as
+    trace_any_bvh (occluded mask, SORTED order under perm)."""
+    del t_min
+    C = tris_packed.shape[0]
+    node_of, caabb8 = _dense_aux(C, bounds, meta, skip_mask)
+    C_pad = caabb8.shape[1]
+    R, R_out, n_steps, cols, rowdata = _prep_bvh(
+        ray_o, ray_d, t_max, perm, tile=tile
+    )
+    in_specs = _in_specs(tile)
+    in_specs.insert(
+        2,
+        pl.BlockSpec(
+            (8, C_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=[_out_block(1, tile)],
+        scratch_shapes=[
+            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
+            pltpu.VMEM((8, C_pad // 8), jnp.float32),
+            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
+        ],
+    )
+    n_tiles = n_steps * TILES_PER_STEP
+    (occ,) = pl.pallas_call(
+        _any_body(tile=tile, dense=True),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32)],
+    )(
+        bounds.reshape(1, -1),
+        meta.reshape(1, -1),
+        node_of,
+        cols,
+        rowdata,
+        caabb8,
+        tris_packed,
+    )
     return (occ.reshape(R) > 0)[:R_out]
 
 

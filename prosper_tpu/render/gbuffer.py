@@ -289,6 +289,8 @@ def render_gbuffer(
             from ..ops.trace_bvh import (
                 pack_pixels_np,
                 primary_cam_vec,
+                primary_tile_mask,
+                tile_px_bounds_np,
                 trace_primary_bvh_full,
                 unpack_hit16,
             )
@@ -296,16 +298,26 @@ def render_gbuffer(
             # in-kernel raygen: the TAA-jittered projection folds into
             # the affine camera uniforms (no per-frame 2M-ray prep)
             cols_np, rows_np, _r0 = pack_pixels_np(px_np, py_np)
+            cam_vec = primary_cam_vec(
+                cam, width, full_h, pixel_jitter=jit, y_offset=y_offset
+            )
+            # per-ray-tile liveness vs every cluster AABB: dead tiles
+            # skip raygen/descent in-kernel (see pt.py primary trace)
+            tmask = primary_tile_mask(
+                cam_vec,
+                jnp.asarray(tile_px_bounds_np(px_np, py_np)),
+                frame["wc_aabb_min_w"],
+                frame["wc_aabb_max_w"],
+            )
             h16 = trace_primary_bvh_full(
                 packed_full,
                 bvh[0],
                 bvh[1],
                 jnp.asarray(cols_np),
                 jnp.asarray(rows_np),
-                primary_cam_vec(
-                    cam, width, full_h, pixel_jitter=jit, y_offset=y_offset
-                ),
+                cam_vec,
                 jnp.zeros((1, 4), jnp.int32),
+                tile_mask=tmask,
             )[: px_np.shape[0]]
             if blocked:
                 # stay in trace order: the 16-channel row-major permute

@@ -78,11 +78,14 @@ def _dot(a, b):
 @lru_cache(maxsize=4)
 def _packed_pixels(width: int, height: int):
     """Static in-kernel-raygen pixel layouts for the block16 pixel order
-    (ops.trace_bvh.pack_pixels_np), cached per resolution."""
-    from ..ops.trace_bvh import pack_pixels_np
+    (ops.trace_bvh.pack_pixels_np) + per-ray-tile pixel bounds
+    (tile_px_bounds_np, feeds the primary tile mask), cached per
+    resolution. Returns (cols, rows, tile_px, R0)."""
+    from ..ops.trace_bvh import pack_pixels_np, tile_px_bounds_np
 
     px_np, py_np, _ = trace.block_pixel_order(width, height)
-    return pack_pixels_np(px_np, py_np)
+    cols, rows, r0 = pack_pixels_np(px_np, py_np)
+    return cols, rows, tile_px_bounds_np(px_np, py_np), r0
 
 
 def pt_trace_pixels(
@@ -220,6 +223,21 @@ def pt_trace_pixels(
     # incoherent wavefronts run the BVH kernels at a smaller packet size
     # (the flat cull-list fallback kernels don't take tile)
     bounce_tile = trace.BOUNCE_TILE if (sort_rays and bvh is not None) else None
+    # bounce closest traces run the PLAIN 9-row kernel and defer the
+    # attribute interpolation to ONE post-trace row gather
+    # (trace_bvh.attrs_from_hit_rows): the fused kernel's per-visit
+    # attribute DMA + interp/select block is pure overhead on incoherent
+    # packets, which union-visit ~27 leaves per 128 rays but observe
+    # only the final hit's attributes. Primary rays keep the fused
+    # kernel (coherent packets amortize the per-visit cost over ~1
+    # visit, and the dense 2M-ray post-pass gather would dominate).
+    bounce_deferred_attrs = sort_rays and bvh is not None
+    if bounce_deferred_attrs:
+        attr_rows = geom.get("attr_rows")
+        if attr_rows is None:
+            from ..ops.trace_bvh import attr_rows_from_packed
+
+            attr_rows = attr_rows_from_packed(packed_full)
 
     def alpha_retrace(state, o, d, tmax, hit):
         """The stochastic any-hit retrace loop (scene.rahit): ignored
@@ -557,16 +575,29 @@ def pt_trace_pixels(
         # uniforms (bit-parity pcg3d jitter), so the 2M-ray cols/rowdata
         # prep and its relayout copies never run. Shading chunks
         # recompute the matching RNG stream from px/py — same rays.
-        from ..ops.trace_bvh import primary_cam_vec, trace_primary_bvh_full
+        from ..ops.trace_bvh import (
+            primary_cam_vec,
+            primary_tile_mask,
+            trace_primary_bvh_full,
+        )
 
+        cam_vec = primary_cam_vec(cam, width, height)
+        # per-ray-tile liveness vs every cluster AABB: dead tiles (~90 %
+        # on a sparse-coverage frame) skip raygen/descent in-kernel
+        tmask = (
+            primary_tile_mask(cam_vec, pix_packed[2], wc_min, wc_max)
+            if len(pix_packed) > 2 and pix_packed[2] is not None
+            else None
+        )
         h16 = trace_primary_bvh_full(
             packed_full,
             bvh[0],
             bvh[1],
             pix_packed[0],
             pix_packed[1],
-            primary_cam_vec(cam, width, height),
+            cam_vec,
             jnp.full((1, 4), frame_index, jnp.int32),
+            tile_mask=tmask,
         )
         h16_rows = h16[:R]
         if alpha_rounds:
@@ -680,9 +711,27 @@ def pt_trace_pixels(
                 # (that cluster, direction octant) for packet coherence
                 b_cluster = jnp.maximum(hit_["tri"], 0) // trace.CLUSTER_PAD
                 perm, inv = _sorted(_sort_key(b_cluster, d_, act))
-                hit2 = trace_with_alpha(
-                    s, o_, d_, tmax_, perm=perm, inv=inv, tile=bounce_tile
-                )
+                if bounce_deferred_attrs:
+                    from ..ops.trace_bvh import (
+                        attrs_from_hit_rows,
+                        trace_closest_bvh,
+                        unpack_hit8,
+                    )
+
+                    h8 = trace_closest_bvh(
+                        packed_full, bvh[0], bvh[1], o_, d_, 0.0, tmax_,
+                        perm=perm, tile=bounce_tile, packed=True,
+                    )
+                    hit2 = attrs_from_hit_rows(
+                        attr_rows, unpack_hit8(h8[inv])
+                    )
+                    if alpha_rounds:
+                        hit2 = alpha_retrace(s, o_, d_, tmax_, hit2)
+                else:
+                    hit2 = trace_with_alpha(
+                        s, o_, d_, tmax_, perm=perm, inv=inv,
+                        tile=bounce_tile,
+                    )
             else:
                 hit2 = trace_with_alpha(s, o_, d_, tmax_)
             if env is not None and more:
@@ -809,7 +858,7 @@ def pt_render_sample(
     px_np, py_np, _inv_np = trace.block_pixel_order(width, height)
     px = jnp.asarray(px_np)
     py = jnp.asarray(py_np)
-    cols_np, rows_np, _r0 = _packed_pixels(width, height)
+    cols_np, rows_np, tpb_np, _r0 = _packed_pixels(width, height)
     color, n_rays = pt_trace_pixels(
         static_scene,
         frame,
@@ -824,7 +873,11 @@ def pt_render_sample(
         clamp_indirect,
         env,
         alpha_rounds,
-        pix_packed=(jnp.asarray(cols_np), jnp.asarray(rows_np)),
+        pix_packed=(
+            jnp.asarray(cols_np),
+            jnp.asarray(rows_np),
+            jnp.asarray(tpb_np),
+        ),
     )
     # segment-level inverse permutation: 16x fewer gather rows than a
     # per-pixel color[inv]
