@@ -420,7 +420,7 @@ def _make_descent_dense(bounds_ref, node_of_ref, caabb_ref, rows,
         iy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e30))
         iz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e30))
         for j in range(C_pad // 128):
-            b = caabb_ref[0:6, 128 * j:128 * (j + 1)]  # (6, 128)
+            b = caabb_ref[0:7, 128 * j:128 * (j + 1)]  # (7, 128)
             t0x = (b[0:1] - ox) * ix
             t1x = (b[3:4] - ox) * ix
             t0y = (b[1:2] - oy) * iy
@@ -435,7 +435,7 @@ def _make_descent_dense(bounds_ref, node_of_ref, caabb_ref, rows,
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.maximum(t0z, t1z),
             )
-            ok = (enter <= exit_) & (enter < tmax_col)
+            ok = (enter <= exit_) & (enter < tmax_col) & (b[6:7] == 0.0)
             em = jnp.min(
                 jnp.where(ok, enter, _INF), axis=0, keepdims=True
             )  # (1, 128)
@@ -1196,10 +1196,10 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
 
         def tile_body(k, _):
             if tile_masked:
-                # per-step (1, TILES_PER_STEP) VMEM block (NOT scalar
-                # prefetch + program_id: the Pallas HLO interpreter used
-                # by the CPU tests has no program_id lowering)
-                live = tmask_ref[0, k]
+                # per-step (1, K, 128) VMEM block (NOT scalar prefetch
+                # + program_id: the Pallas HLO interpreter used by the
+                # CPU tests has no program_id lowering)
+                live = tmask_ref[0, k, 0]
 
                 @pl.when(live == 0)
                 def _():
@@ -1319,18 +1319,27 @@ def _dense_aux(C, bounds, meta, skip_mask=None):
         jnp.arange(N, dtype=jnp.int32), mode="drop"
     )
     caabb = bounds[node_of]  # (C, 6) — the BVH's own leaf boxes
-    dead = jnp.asarray(
-        [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32
-    )
+    # dead clusters carry an explicit flag row (row 6): an inverted
+    # min>max box does NOT fail the slab test (it is min/max-symmetric),
+    # and a popped pad cluster would DMA out of tris_hbm bounds
+    dead = jnp.zeros((C,), jnp.float32)
     if skip_mask is not None:
-        caabb = jnp.where(skip_mask.astype(bool)[:, None], caabb, dead)
+        dead = jnp.where(skip_mask.astype(bool), dead, 1.0)
     C_pad = -(-C // 1024) * 1024
     if C_pad > C:
         caabb = jnp.concatenate(
-            [caabb, jnp.broadcast_to(dead, (C_pad - C, 6))], axis=0
+            [caabb, jnp.zeros((C_pad - C, 6), jnp.float32)], axis=0
+        )
+        dead = jnp.concatenate(
+            [dead, jnp.ones((C_pad - C,), jnp.float32)], axis=0
         )
     caabb8 = jnp.concatenate(
-        [caabb.T, jnp.zeros((2, C_pad), jnp.float32)], axis=0
+        [
+            caabb.T,
+            dead.reshape(1, -1),
+            jnp.zeros((1, C_pad), jnp.float32),
+        ],
+        axis=0,
     )
     return node_of.reshape(1, -1), caabb8
 
@@ -1675,14 +1684,16 @@ def trace_primary_bvh_full(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     if tile_masked:
-        # per-step (1, TILES_PER_STEP) VMEM block so the kernel indexes
-        # it with the LOCAL tile id (no program_id — unsupported by the
-        # Pallas HLO interpreter the CPU tests run under)
+        # per-step (1, K, 128) VMEM block so the kernel indexes it with
+        # the LOCAL tile id (no program_id — unsupported by the Pallas
+        # HLO interpreter the CPU tests run under); the lane broadcast
+        # satisfies Mosaic's (8, 128)-divisible block tiling (a (1, K)
+        # block is rejected at TPU lowering)
         in_specs.insert(
             0,
             pl.BlockSpec(
-                (1, TILES_PER_STEP),
-                lambda i, *_: (i, 0),
+                (1, TILES_PER_STEP, 128),
+                lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         )
@@ -1705,7 +1716,12 @@ def trace_primary_bvh_full(
     if tile_masked:
         inputs.insert(
             0,
-            tile_mask.astype(jnp.int32).reshape(n_steps, TILES_PER_STEP),
+            jnp.broadcast_to(
+                tile_mask.astype(jnp.int32).reshape(
+                    n_steps, TILES_PER_STEP, 1
+                ),
+                (n_steps, TILES_PER_STEP, 128),
+            ),
         )
     (out,) = pl.pallas_call(
         _closest_body(fused=True, tile=tile, raygen=True,
