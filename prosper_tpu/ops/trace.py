@@ -28,6 +28,13 @@ from .intersect import moller_trumbore, packet_aabb_overlap
 TILE = 256  # rays per packet: 2 VPU sublane-rows of 128 lanes
 CLUSTER_PAD = 128  # triangles per cluster slab (scene/meshlets.py)
 
+import os as _os
+
+# any-hit (shadow) descent variant used by make_tracer when BVH node
+# arrays are present: "stack" (ordered BVH2 walk) or "dense"
+# (all-rays x all-clusters cull + argmin pops, trace_any_bvh_dense)
+ANY_TRACER = _os.environ.get("PT_ANY_TRACER", "stack")
+
 
 def make_tracer(tris: dict, wc_min, wc_max, bvh=None, packed9=None):
     """Returns (closest_fn, any_fn) with signature (o, d, t_min, t_max).
@@ -56,9 +63,19 @@ def make_tracer(tris: dict, wc_min, wc_max, bvh=None, packed9=None):
             from . import trace_bvh
 
             bounds, meta = bvh
+            # any-hit descent policy (ONE decision point): the dense
+            # cull descent measured 7.56 vs 8.85 ms (stack) on the real
+            # 70k-ray shadow batch (scripts/bench_dense.py, v5e r4) but
+            # is O(C) per packet — stack remains the default until the
+            # frame-level A/B flips it (PT_ANY_TRACER=dense).
+            any_impl = (
+                trace_bvh.trace_any_bvh_dense
+                if ANY_TRACER == "dense"
+                else trace_bvh.trace_any_bvh
+            )
             return (
                 _partial(trace_bvh.trace_closest_bvh, packed, bounds, meta),
-                _partial(trace_bvh.trace_any_bvh, packed, bounds, meta),
+                _partial(any_impl, packed, bounds, meta),
             )
         return (
             _partial(trace_pallas.trace_closest_pallas, packed, wc_min, wc_max),
