@@ -132,8 +132,32 @@ def main():
     q = np.clip(q, 0, 63)
     qd = np.clip(((d * 0.5 + 0.5) * 7).astype(np.int64), 0, 7)
 
+    hit_cluster = (
+        np.where(np.asarray(hit2["tri"]) >= 0, np.asarray(hit2["tri"]), 0)
+        // trace.CLUSTER_PAD
+    ).astype(np.int64)
+    hit_miss = (np.asarray(hit2["tri"]) < 0).astype(np.int64)
     keys = {
         "cluster*128+oct3 (current)": cluster * 128 + octant_bits(d, 3),
+        "ORACLE hit-cluster": hit_miss * (1 << 40) + hit_cluster,
+        "ORACLE hitc*128+oct3": hit_miss * (1 << 40)
+        + hit_cluster * 128
+        + octant_bits(d, 3),
+        "ORACLE hitc+parentc": hit_miss * (1 << 40)
+        + hit_cluster * 4096
+        + cluster,
+        "morton9(pos)*128+oct3": morton3(
+            np.clip(
+                ((o2 - lo) / np.maximum(hi - lo, 1e-9) * 511).astype(
+                    np.int64
+                ),
+                0,
+                511,
+            ),
+            9,
+        )
+        * 128
+        + octant_bits(d, 3),
         "cluster*2048+oct5": cluster * 2048 + octant_bits(d, 5),
         "oct3*4096+cluster": octant_bits(d, 3) * 4096 + cluster,
         "morton6(pos)": morton3(q, 6),

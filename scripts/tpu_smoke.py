@@ -230,6 +230,51 @@ def main() -> int:
         ),
     )
 
+    # ---- dense-cull descent (bounce/shadow alternative; round 4) ----
+    dn = trace_bvh.trace_closest_bvh_dense(
+        packed9, bounds, meta, o, d, 1e-4, jnp.inf, tile=128
+    )
+    check(
+        "trace_closest_bvh_dense",
+        bool(jnp.all(dn["tri"] == ref["tri"]))
+        and float(
+            jnp.max(jnp.where(sel, jnp.abs(dn["t"] - ref["t"]), 0.0))
+        ) < 1e-3,
+    )
+    dn_any = trace_bvh.trace_any_bvh_dense(
+        packed9, bounds, meta, o, d, 0.1, 8.0, tile=256
+    )
+    check("trace_any_bvh_dense", bool(jnp.all(dn_any == ref_any)))
+    masked_dn = trace_bvh.trace_closest_bvh_dense(
+        packed9, bounds, meta, o, d, 1e-4, jnp.inf,
+        skip_mask=jnp.ones((wc_min.shape[0],), jnp.int32),
+    )
+    check(
+        "trace_closest_bvh_dense_mask",
+        bool(jnp.all(masked_dn["tri"] == ref["tri"])),
+    )
+
+    # ---- primary tile mask (dead ray tiles skip raygen in-kernel) ----
+    tmask = trace_bvh.primary_tile_mask(
+        trace_bvh.primary_cam_vec(cam, W, H),
+        jnp.asarray(trace_bvh.tile_px_bounds_np(px_np, py_np)),
+        wc_min,
+        wc_max,
+    )
+    got16m = trace_bvh.trace_primary_bvh_full(
+        packed40, bounds, meta,
+        jnp.asarray(cols_np), jnp.asarray(rows_np),
+        trace_bvh.primary_cam_vec(cam, W, H),
+        jnp.full((1, 4), fi, jnp.int32),
+        tile_mask=tmask,
+    )
+    gotm = trace_bvh.unpack_hit16(got16m[:R0])
+    check(
+        "trace_primary_tile_mask",
+        bool(jnp.all(gotm["tri"] == got["tri"])),
+        f"live_tiles={float(jnp.mean(tmask.astype(jnp.float32))):.3f}",
+    )
+
     # ---- per-ray threaded-BVH walk (experimental; ops/trace_wavefront)
     from prosper_tpu.accel.bvh import pack_threaded
     from prosper_tpu.ops.trace_wavefront import walk_leaves, walk_leaves_ref
