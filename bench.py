@@ -14,11 +14,16 @@ The primary metric stays the PT Mrays/s line (driver compatibility);
 ReSTIR DI frame times from the same scene (BASELINE.json metric string:
 "Mrays/s path-trace + ms/frame deferred ReSTIR at 1080p").
 
-Failure policy (VERDICT r3 weak #1): backend init is bounded by an
-alarm; every stage runs under its own try/except; a JSON line is
-emitted no matter what. The reference's analog of this
-recover-don't-crash posture is the swapchain out-of-date recreate loop
-(/root/reference/src/App.cpp:642-670).
+Failure policy (VERDICT r3 weak #1): every stage is bounded by a
+WATCHDOG THREAD (not signal.alarm — a SIGALRM handler only runs
+between Python bytecodes, so it cannot interrupt a device call wedged
+inside the runtime, which is precisely the observed tunnel failure
+mode: backend init succeeds, then the first execute blocks forever in
+a futex wait). On expiry the watchdog records the stage error, prints
+the cumulative JSON snapshot, and hard-exits — the last stdout line
+still parses and carries every stage that did finish. The reference's
+analog of this recover-don't-crash posture is the swapchain
+out-of-date recreate loop (/root/reference/src/App.cpp:642-670).
 
 Baseline derivation (BASELINE.md): the north-star target is a
 path-traced frame at 1080p >= 30 FPS on one TPU v5e chip. At 1080p with
@@ -31,8 +36,9 @@ target is met.
 from __future__ import annotations
 
 import json
-import signal
+import os
 import sys
+import threading
 import time
 import traceback
 
@@ -71,23 +77,28 @@ def snapshot():
     print(json.dumps(RESULT), flush=True)
 
 
-class _Alarm(Exception):
-    pass
+def _watchdog_fire(name, timeout_s):
+    # Runs on a timer thread while the main thread is wedged inside a
+    # runtime call that will never return. Record, emit, hard-exit:
+    # rc=0 so the driver parses the last (complete, cumulative) line.
+    RESULT["errors"][name] = (
+        f"Watchdog: stage exceeded {timeout_s}s — device call wedged "
+        f"(backend initialized but execution never completed)"
+    )
+    snapshot()
+    sys.stdout.flush()
+    os._exit(0)
 
 
-def _raise_alarm(signum, frame):
-    raise _Alarm("timed out")
-
-
-def stage(name, timeout_s=None):
+def stage(name, timeout_s=600):
     """Decorator-ish runner: returns fn() or records the error and
-    re-snapshots. Never raises."""
+    re-snapshots. Never raises; a wedged device call trips the watchdog
+    thread, which emits the snapshot and hard-exits."""
 
     def run(fn):
-        old = None
-        if timeout_s is not None:
-            old = signal.signal(signal.SIGALRM, _raise_alarm)
-            signal.alarm(timeout_s)
+        dog = threading.Timer(timeout_s, _watchdog_fire, (name, timeout_s))
+        dog.daemon = True
+        dog.start()
         try:
             out = fn()
             return out
@@ -97,9 +108,7 @@ def stage(name, timeout_s=None):
             snapshot()
             return None
         finally:
-            if timeout_s is not None:
-                signal.alarm(0)
-                signal.signal(signal.SIGALRM, old)
+            dog.cancel()
 
     return run
 
@@ -154,7 +163,7 @@ def main() -> int:
         jax.devices()  # force backend init under the alarm
         return jax
 
-    jax = stage("backend", timeout_s=240)(init_backend)
+    jax = stage("backend", timeout_s=180)(init_backend)
     if jax is None:
         return 0
     RESULT["backend"] = jax.default_backend()
@@ -163,7 +172,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     RESULT["kernel_smoke_ok"] = bool(
-        stage("kernel_smoke")(lambda: kernel_smoke(jnp))
+        stage("kernel_smoke", timeout_s=300)(lambda: kernel_smoke(jnp))
     )
     snapshot()
 
@@ -208,7 +217,7 @@ def main() -> int:
         )
         return world, static, arena_dev, frame_dev, cam
 
-    ctx = stage("scene_setup")(setup)
+    ctx = stage("scene_setup", timeout_s=240)(setup)
     if ctx is None:
         return 0
     world, static, arena_dev, frame_dev, cam = ctx
@@ -270,7 +279,7 @@ def main() -> int:
             + intervals[mid][1] / intervals[mid][0]
         ) / 2.0 / 1e6
 
-    mrays = stage("pt")(bench_pt)
+    mrays = stage("pt", timeout_s=480)(bench_pt)
     if mrays is not None:
         RESULT["value"] = round(mrays, 2)
         RESULT["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
@@ -342,7 +351,7 @@ def main() -> int:
             snapshot()
         return out
 
-    stage("modes")(bench_modes)
+    stage("modes", timeout_s=480)(bench_modes)
     snapshot()
     return 0
 

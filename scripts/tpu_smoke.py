@@ -404,7 +404,29 @@ def _write_artifact(rc, error=None):
         f.write("\n")
 
 
+def _watchdog(timeout_s=600):
+    """A wedged device call blocks in the runtime and never raises, so
+    the except-clause below can't save the artifact (observed tunnel
+    failure mode: backend init succeeds, first execute hangs forever).
+    A timer thread writes the artifact and hard-exits instead."""
+    import threading
+
+    def fire():
+        _write_artifact(
+            3,
+            f"Watchdog: exceeded {timeout_s}s — device call wedged "
+            f"(backend initialized but execution never completed)",
+        )
+        os._exit(3)
+
+    dog = threading.Timer(timeout_s, fire)
+    dog.daemon = True
+    dog.start()
+    return dog
+
+
 if __name__ == "__main__":
+    dog = _watchdog()
     try:
         rc = main()
         _write_artifact(rc)
@@ -414,4 +436,6 @@ if __name__ == "__main__":
         _write_artifact(2, f"{type(e).__name__}: {e}")
         traceback.print_exc()
         rc = 2
+    finally:
+        dog.cancel()
     sys.exit(rc)
