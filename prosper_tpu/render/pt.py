@@ -896,6 +896,23 @@ def pt_accumulate(prev_color, prev_count, sample):
     return new_color, count
 
 
+@partial(jax.jit, static_argnames=("width", "height"))
+def _accum_tonemap(prev_color, prev_count, sample_flat, lut, exposure,
+                   contrast, *, width, height):
+    """Jitted frame tail: accumulate + tonemap in ONE dispatch.
+
+    Eager per-frame tails cost ~50 host dispatches/frame through the
+    tunnel (xprof r4: restir device 155 ms vs 318 ms wall — the gap was
+    almost entirely eager jit_multiply/jit_gather/... modules), and the
+    eager chain serialized frame i+1's dispatch behind frame i's tail.
+    The sample render takes no state, so with the tail fused the next
+    frame's render overlaps this frame's accumulation."""
+    sample = sample_flat.reshape(height, width, 3)
+    color, count = pt_accumulate(prev_color, prev_count, sample)
+    img = tone_map(color, lut, exposure, contrast)
+    return img, color, count
+
+
 def pt_entry(
     *,
     static,
@@ -919,10 +936,16 @@ def pt_entry(
     sample = pt_render_sample(
         static, frame, arena, cam, width, height, frame_index, max_bounces,
         env=env, alpha_rounds=alpha_rounds,
-    ).reshape(height, width, 3)
+    )
     if state is None or not accumulate:
-        color, count = sample, jnp.ones((height, width), jnp.float32)
+        img, color, count = _accum_tonemap(
+            jnp.zeros((height, width, 3), jnp.float32),
+            jnp.zeros((height, width), jnp.float32),
+            sample, lut, exposure, contrast, width=width, height=height,
+        )
     else:
-        color, count = pt_accumulate(state[0], state[1], sample)
-    img = tone_map(color, lut, exposure, contrast)
+        img, color, count = _accum_tonemap(
+            state[0], state[1], sample, lut, exposure, contrast,
+            width=width, height=height,
+        )
     return img, (color, count)

@@ -446,13 +446,20 @@ def restir_entry(
         static, frame, arena, cam, lut, width, height, frame_index,
         exposure, contrast, alpha_rounds=kw.get("alpha_rounds", 0),
     )
-    # running-mean accumulation like the reference trace pass
-    color = color.reshape(height, width, 3)
+    # Running-mean accumulation like the reference trace pass, fused
+    # into ONE jitted dispatch (render/pt._accum_tonemap): the eager
+    # tail cost ~160 ms/frame of host dispatch through the tunnel and
+    # serialized the next frame's dispatch behind it (xprof r4).
     if state is None:
-        acc, count = color, jnp.ones((height, width), jnp.float32)
+        acc, count = (
+            color.reshape(height, width, 3),
+            jnp.ones((height, width), jnp.float32),
+        )
     else:
-        prev, pcount = state
-        count = pcount + 1.0
-        acc = prev + (color - prev) / count[..., None]
-        img = tone_map(acc, lut, exposure, contrast)
+        from .pt import _accum_tonemap
+
+        img, acc, count = _accum_tonemap(
+            state[0], state[1], color, lut, exposure, contrast,
+            width=width, height=height,
+        )
     return img, (acc, count)
