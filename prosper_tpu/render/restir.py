@@ -30,8 +30,18 @@ import numpy as np
 from ..mathx import rng as prng
 from ..mathx.color import luminance
 from ..mathx.packing import signed_oct_decode
+import os as _os
+
 from ..ops import trace
 from ..ops.brdf import eval_brdf_times_nol
+
+# Rays/packet for the 1024-light shadow batch. Unlike the PT NEE set
+# (one directional light -> coherent packets, 256 measured best,
+# ops/trace.BOUNCE_TILE note), a light-sorted 256-ray packet here spans
+# ~2-4 DIFFERENT scattered lights (131k rays / 1024 lights ~ 128
+# rays/light), so packet union-visit waste is the bound (xprof r4:
+# 64 ms / 512 packets ~ 48 union leaf visits/packet).
+SHADOW_TILE = int(_os.environ.get("RESTIR_SHADOW_TILE", "256"))
 from ..ops.tonemap import tone_map
 from .shading import sample_light
 
@@ -280,7 +290,8 @@ def restir_shade(
                 .set(jnp.arange(perm.shape[0], dtype=perm.dtype))
             )
             occluded = any_fn(
-                shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm
+                shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm,
+                tile=SHADOW_TILE,
             )[inv]
         else:
             occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
