@@ -202,84 +202,6 @@ def pack_nodes(bvh: Bvh) -> tuple[np.ndarray, np.ndarray]:
     return bounds, meta
 
 
-def pack_threaded(bvh: Bvh) -> np.ndarray:
-    """Preorder threaded node table for the per-ray walk kernel
-    (ops/trace_wavefront.py).
-
-    Returns (n_chunks, 8, 128) f32: chunk c, field row f, node lane l is
-    field f of preorder node c*128+l. Field rows: [min.x, min.y, min.z,
-    max.x, max.y, max.z, skip, leaf]. The stackless walk is: on AABB hit
-    go to node+1 (preorder first child; a leaf's subtree is itself so +1
-    == skip), on miss go to skip (first node after the subtree); node ==
-    N terminates. skip/leaf ride as exact f32 integers (N < 2^24).
-    Requires max_leaf_size == 1 builds. See e.g. Smits 1998 /
-    Torres et al. threaded-BVH traversal for the classic CPU/GPU form.
-    """
-    assert bvh.nodes_count.max() <= 1
-    n = bvh.n_nodes
-    pre = np.empty(n, np.int32)  # old index -> preorder position
-    skip = np.empty(n, np.int32)  # by preorder position
-    n_chunks = -(-n // 128)
-    n_term = n_chunks * 128  # the kernel's termination bound
-    pos = 0
-    stack = [(0, n_term)]  # (old node, skip target in preorder positions)
-    # iterative DFS; "after" = preorder position after this subtree is
-    # not known until the subtree is emitted, so pass the parent's skip
-    # and patch: emit left with skip=right's future position — resolved
-    # by emitting right subtree size first via a sizes pass
-    sizes = np.ones(n, np.int64)
-    # subtree sizes bottom-up (children indices are always > parent in
-    # the builder's allocation order? not guaranteed by pop order — use
-    # a post-order walk instead)
-    order_stack = [0]
-    post = []
-    while order_stack:
-        i = order_stack.pop()
-        post.append(i)
-        if bvh.nodes_count[i] == 0:
-            order_stack.append(bvh.nodes_left[i])
-            order_stack.append(bvh.nodes_right[i])
-    for i in reversed(post):
-        if bvh.nodes_count[i] == 0:
-            sizes[i] = 1 + sizes[bvh.nodes_left[i]] + sizes[bvh.nodes_right[i]]
-    while stack:
-        i, after = stack.pop()
-        pre[i] = pos
-        skip[pos] = after
-        pos += 1
-        if bvh.nodes_count[i] == 0:
-            left, right = bvh.nodes_left[i], bvh.nodes_right[i]
-            # left occupies [pos, pos+sizes[left]) then right
-            stack.append((right, after))
-            stack.append((left, pos + int(sizes[left])))
-    inv = np.empty(n, np.int32)
-    inv[pre] = np.arange(n, dtype=np.int32)  # preorder position -> old
-    leaf = np.where(
-        bvh.nodes_count[inv] > 0, bvh.order[bvh.nodes_first[inv]], -1
-    )
-    table = np.zeros((n_chunks, 8, 128), np.float32)
-    flat = np.concatenate(
-        [
-            bvh.nodes_min[inv],
-            bvh.nodes_max[inv],
-            skip[:, None].astype(np.float32),
-            leaf[:, None].astype(np.float32),
-        ],
-        axis=1,
-    )  # (n, 8)
-    pad = n_term - n
-    if pad:
-        # padded nodes: NaN bounds (slab test: enter<=exit is false, so
-        # they can never "hit") jumping to the termination bound
-        term = np.zeros((pad, 8), np.float32)
-        term[:, 0:6] = np.nan
-        term[:, 6] = n_term
-        term[:, 7] = -1
-        flat = np.concatenate([flat, term], axis=0)
-    table[:] = flat.reshape(n_chunks, 128, 8).transpose(0, 2, 1)
-    return table
-
-
 def pack_nodes8(bvh: Bvh) -> np.ndarray:
     """Collapse a max_leaf_size=1 BVH2 into an 8-wide node table for the
     vectorized Pallas descent (ops/trace_bvh8.py).

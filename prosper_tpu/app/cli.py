@@ -123,7 +123,38 @@ def build_parser() -> argparse.ArgumentParser:
         "rendering, poll source mtimes and re-render on change — the XLA "
         "compile cache makes unchanged passes free to 'recompile'",
     )
+    # kernel-policy knobs (config.KernelPolicy holds the measured
+    # defaults and the numbers behind them)
+    r.add_argument(
+        "--any-tracer", choices=("stack", "dense"), default=None,
+        help="any-hit (shadow) BVH descent variant (default: measured "
+        "winner, see prosper_tpu/config.py)",
+    )
+    r.add_argument(
+        "--bounce-tracer", choices=("packet", "leafmajor"), default=None,
+        help="incoherent bounce/shadow tracer family (default: packet, "
+        "the measured winner; leafmajor is the archived challenger)",
+    )
+    r.add_argument(
+        "--restir-shadow-tile", type=int, default=None, metavar="N",
+        help="rays/packet for the ReSTIR 1024-light shadow batch "
+        "(default: see prosper_tpu/config.py)",
+    )
     return p
+
+
+def _apply_policy(args) -> None:
+    """Fold the kernel-policy CLI/TOML flags into config.policy — the
+    single runtime configuration surface (main.cpp:46-130 analog).
+    Must run before the first trace; jitted entries bake these values."""
+    from .. import config
+
+    if args.any_tracer is not None:
+        config.policy.any_tracer = args.any_tracer
+    if args.bounce_tracer is not None:
+        config.policy.bounce_tracer = args.bounce_tracer
+    if args.restir_shadow_tile is not None:
+        config.policy.restir_shadow_tile = int(args.restir_shadow_tile)
 
 
 def _source_mtimes(root: str) -> dict:
@@ -159,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
             flag = "--" + k.replace("_", "-")
             if flag not in (sys.argv if argv is None else argv):
                 setattr(args, k, v)
+    _apply_policy(args)
 
     if args.platform:
         # env vars are overridden by this environment's sitecustomize;

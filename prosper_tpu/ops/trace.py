@@ -23,17 +23,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from .intersect import moller_trumbore, packet_aabb_overlap
 
 TILE = 256  # rays per packet: 2 VPU sublane-rows of 128 lanes
 CLUSTER_PAD = 128  # triangles per cluster slab (scene/meshlets.py)
-
-import os as _os
-
-# any-hit (shadow) descent variant used by make_tracer when BVH node
-# arrays are present: "stack" (ordered BVH2 walk) or "dense"
-# (all-rays x all-clusters cull + argmin pops, trace_any_bvh_dense)
-ANY_TRACER = _os.environ.get("PT_ANY_TRACER", "stack")
 
 
 def make_tracer(tris: dict, wc_min, wc_max, bvh=None, packed9=None):
@@ -63,14 +57,12 @@ def make_tracer(tris: dict, wc_min, wc_max, bvh=None, packed9=None):
             from . import trace_bvh
 
             bounds, meta = bvh
-            # any-hit descent policy (ONE decision point): the dense
-            # cull descent measured 7.56 vs 8.85 ms (stack) on the real
-            # 70k-ray shadow batch (scripts/bench_dense.py, v5e r4) but
-            # is O(C) per packet — stack remains the default until the
-            # frame-level A/B flips it (PT_ANY_TRACER=dense).
+            # any-hit descent policy (ONE decision point, set through
+            # config.policy / the --any-tracer CLI flag): measured
+            # numbers next to the knob in config.KernelPolicy.
             any_impl = (
                 trace_bvh.trace_any_bvh_dense
-                if ANY_TRACER == "dense"
+                if config.policy.any_tracer == "dense"
                 else trace_bvh.trace_any_bvh
             )
             return (
@@ -170,11 +162,15 @@ BOUNCE_TILE = 128  # rays/packet for INCOHERENT bounce-closest traces.
 LEAFMAJOR_MAX_CLUSTERS = 4096  # dense pair enumeration is O(R x C)
 
 
-def bounce_policy(n_clusters: int, bvh, prefer: str) -> bool:
+def bounce_policy(n_clusters: int, bvh, prefer: str | None = None) -> bool:
     """True when incoherent rays should use the leaf-major pair tracer
-    (the decision behind make_bounce_tracer, callable without slabs)."""
+    (the decision behind make_bounce_tracer, callable without slabs).
+    prefer=None reads config.policy.bounce_tracer (the --bounce-tracer
+    CLI flag; packet is the measured default)."""
     import jax
 
+    if prefer is None:
+        prefer = config.policy.bounce_tracer
     return (
         prefer == "leafmajor"
         and jax.default_backend() != "cpu"
@@ -183,7 +179,7 @@ def bounce_policy(n_clusters: int, bvh, prefer: str) -> bool:
     )
 
 
-def make_bounce_tracer(packed, wc_min, wc_max, bvh, prefer="leafmajor"):
+def make_bounce_tracer(packed, wc_min, wc_max, bvh, prefer=None):
     """THE policy for incoherent (bounce/shadow) ray tracing — the one
     decision point for leaf-major pair blocks vs packet BVH traversal
     (previously three hardcoded gates across render/pt.py and

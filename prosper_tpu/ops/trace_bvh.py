@@ -63,25 +63,9 @@ DEBUG_FAKE_ENTER = False  # node_enter returns 0.0 (no vector slab test);
 # only valid on scenes where every node is entered anyway
 # — in-situ cost isolation on no-hit scenes where traversal is identical
 # across modes (scripts/bench_insitu.py); NEVER set in production
-ISECT_BLOCK = "moller"  # triangle test: "moller" (VPU) or "plucker"
-# (MXU matmuls over per-leaf feature rows, ops/trace_plucker.py) — the
-# Moller block is ~2.0 of the 2.59 us leaf visit (scripts/bench_insitu),
-# so the A/B is switchable per trace; see scripts/bench_insitu.py
-ISECT_PRECISION = None  # None = bf16 MXU passes; lax.Precision.HIGHEST
-# = f32-emulation (bf16x3); only read when ISECT_BLOCK == "plucker"
-import os as _os
-
-ROWSKIP = _os.environ.get("PT_ROWSKIP", "0") != "0"
-# 128-ray fused closest: run Möller/attr interpolation only on the 8-row
-# ray groups whose rays enter the visited leaf before their current best
-# (scripts/rowskip_analysis.py: 3.6 of 16 groups occupied on the real
-# sorted bounce wavefront — ~4.5x less Möller work per union visit).
-# MEASURED NEGATIVE on v5e (scripts/bench_rowskip.py, 70k sorted bounce
-# rays): 49.9 ms vs 29.4 ms baseline — the per-group fori/@pl.when
-# machinery (dynamic sublane slices, VMEM round-trips for the best-hit
-# state, one vector->scalar sync per visit) costs ~1.4 us/visit, more
-# than the ~1.5 us of Möller it saves at tile=128. Kept switchable as a
-# documented negative result; default stays the dense Möller block.
+# The Möller VPU block is the only triangle test: the MXU Plücker block
+# and the row-skip Möller variant both measured NEGATIVE on v5e and are
+# archived with their numbers in experiments/README.md (round 5).
 
 ROWS_FULL = 40  # fused-attribute slab rows (ops/trace_pallas_full.py)
 ROWS_PLAIN = 9  # geometry-only slab rows (ops/trace_pallas.py)
@@ -627,7 +611,7 @@ def _make_descent8(nodes_ref, row_ref, kstack, cstack, cursors, k):
 
 
 def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
-                  rowskip=False, tile_masked=False, dense=False):
+                  tile_masked=False, dense=False):
     """Kernel body shared by the plain and fused closest-hit variants.
     Processes TILES_PER_STEP ray tiles per grid step. wide=True uses the
     8-wide descent over a pack_nodes8 table instead of BVH2 SMEM scalars.
@@ -638,8 +622,6 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
     static pixel-coordinate layouts + camera uniforms (_raygen_tile)
     instead of reading prepacked ray data — the 2M-ray XLA prep
     (cols/rowdata relayout copies) disappears from the frame.
-    rowskip=True (fused 128-ray packets) runs Möller/attrs only on the
-    8-row ray groups entering each leaf (see the rs_body comment).
     tile_masked=True (raygen only) takes a per-RAY-TILE liveness
     prefetch (primary_tile_mask): dead tiles skip raygen, descent init
     and the root test entirely and just write miss rows — on a
@@ -651,11 +633,8 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
     assert wide is False or tile == TILE, "wide descent is 256-ray only"
     assert not (raygen and (wide or masked)), "raygen is BVH2, unmasked"
     assert not tile_masked or raygen, "tile mask is the raygen variant"
-    assert not rowskip or (
-        fused and not wide and not masked and not raygen and tile == 128
-    ), "rowskip is the fused BVH2 128-ray bounce variant"
     assert not dense or not (
-        fused or wide or masked or raygen or rowskip
+        fused or wide or masked or raygen
     ), "dense cull is the plain incoherent-packet variant"
 
     def kernel(*args):
@@ -684,12 +663,6 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
                  attr_scr, pend, sems) = rest
             else:
                 (out, tri_slab, kstack, cstack, cursors, pend, sems) = rest
-        elif rowskip:
-            # no attr_slab: the 40-row slab ships whole in the ring (the
-            # attrs are consumed nearly every visit here, and a separate
-            # on-demand fetch would serialize on the visit loop)
-            (out, tri_slab, stack_idx, stack_enter, attr_scr, pend,
-             cols_scr, bt_scr, btri_scr, pend_node, sems) = rest
         elif fused:
             (out, tri_slab, attr_slab, stack_idx, stack_enter, attr_scr,
              pend, sems) = rest
@@ -700,13 +673,12 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
         t_min = 1e-4
-        rows_fetch = ROWS_FULL if rowskip else ROWS_PLAIN
+        rows_fetch = ROWS_PLAIN
 
         def get_dma(slot, c):
-            # geometry rows only (rowskip: all 40 rows — see above): the
-            # 31 attribute rows are otherwise fetched on demand when a
-            # leaf improves a hit (most visits don't), so the
-            # steady-state leaf traffic is 4.5 KB, not 20 KB
+            # geometry rows only: the 31 attribute rows are fetched on
+            # demand when a leaf improves a hit (most visits don't), so
+            # the steady-state leaf traffic is 4.5 KB, not 20 KB
             return pltpu.make_async_copy(
                 tris_hbm.at[c, 0:rows_fetch], tri_slab.at[slot],
                 sems.at[slot]
@@ -781,16 +753,10 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
             def run_pipeline():
                 if fused:
                     attr_scr[...] = jnp.zeros((tile, 12), jnp.float32)
-                if rowskip:
-                    cols_scr[...] = colsT
-                    bt_scr[...] = tmax_col
-                    btri_scr[...] = jnp.full((tile, 1), -1, jnp.int32)
                 # prime the slab ring: descend up to DMA_DEPTH-1 leaves
                 # ahead before the first Moller so every wait has ~3
                 # visits of issued-ahead DMA behind it
                 pend[0, 0] = c0
-                if rowskip:
-                    pend_node[0, 0] = node0
 
                 def pcond(c):
                     n, sp = c
@@ -806,15 +772,11 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
                         @pl.when(nxt >= 0)
                         def _():
                             pend[0, n] = nxt
-                            if rowskip:
-                                pend_node[0, n] = nnode
                             get_dma(n, nxt).start()
                     else:
                         @pl.when(nxt >= 0)
                         def _():
                             pend[0, n] = nxt
-                            if rowskip:
-                                pend_node[0, n] = nnode
 
                     return n + (nxt >= 0).astype(jnp.int32), sp
 
@@ -824,161 +786,6 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
 
                 def cond(state):
                     return state[0] < state[1]  # consumed < found
-
-                if rowskip:
-                    # ---- row-skip visit loop (128-ray bounce packets):
-                    # Möller + attr interpolation run ONLY on the 8-row
-                    # ray groups whose rays enter the leaf before their
-                    # personal best (rowskip_analysis.py: 3.6 of 16
-                    # groups occupied on the real sorted bounce set —
-                    # union-visit Möller waste drops ~4.5x). Best-hit
-                    # state lives in VMEM scratch so groups update their
-                    # row slices in place; the descent's lane-major upper
-                    # bounds are the transposed best-t column.
-                    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-                    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                    gweight = jnp.where(
-                        lane1 % 8 == 0,
-                        jnp.left_shift(jnp.int32(1), lane1 // 8),
-                        0,
-                    )
-
-                    def rs_body(state):
-                        j_, n, sp, best_row = state
-                        sp, nxt, nnode = find_leaf(
-                            sp, best_row, jnp.max(best_row)
-                        )
-
-                        @pl.when(nxt >= 0)
-                        def _():
-                            slot_w = jax.lax.rem(n, DMA_DEPTH)
-                            pend[0, slot_w] = nxt
-                            pend_node[0, slot_w] = nnode
-                            get_dma(slot_w, nxt).start()
-
-                        n = n + (nxt >= 0).astype(jnp.int32)
-                        slot = jax.lax.rem(j_, DMA_DEPTH)
-                        cur = pend[0, slot]
-                        cnode = pend_node[0, slot]
-                        get_dma(slot, cur).wait()
-                        slab = tri_slab[slot].astype(jnp.float32)
-
-                        # one i32 bitmask of occupied 8-row groups: the
-                        # fresh per-ray entry mask, window-ORed over each
-                        # 8-lane group (3 rotate rounds; group-start
-                        # lanes hold their group's OR), then one reduce —
-                        # a single vector->scalar transfer per visit
-                        ei = enter_mask(cnode, best_row).astype(jnp.int32)
-                        ei = ei | pltpu.roll(ei, 127, axis=1)
-                        ei = ei | pltpu.roll(ei, 126, axis=1)
-                        ei = ei | pltpu.roll(ei, 124, axis=1)
-                        bits = jnp.sum(ei * gweight)
-
-                        def group_body(g, _):
-                            @pl.when(
-                                (jax.lax.shift_right_logical(bits, g) & 1)
-                                != 0
-                            )
-                            def _():
-                                ro = pl.ds(g * 8, 8)
-                                colsg = cols_scr[ro, :]  # (8, 8)
-                                btg = bt_scr[ro, :]  # (8, 1)
-                                _h, tg, ug, vg = _moller_block(
-                                    slab[0:9],
-                                    colsg[:, 0:1],
-                                    colsg[:, 1:2],
-                                    colsg[:, 2:3],
-                                    colsg[:, 3:4],
-                                    colsg[:, 4:5],
-                                    colsg[:, 5:6],
-                                    t_min,
-                                    btg,
-                                )
-                                tmin = jnp.min(tg, axis=1, keepdims=True)
-                                improved = tmin < btg
-                                is_best = tg == tmin
-                                jg = jnp.min(
-                                    jnp.where(is_best, lane8, 128),
-                                    axis=1,
-                                    keepdims=True,
-                                )
-                                sel = is_best & (lane8 == jg)
-                                selw = sel.astype(jnp.float32)
-                                w_b = 1.0 - ug - vg
-
-                                def interp(r0, r1, r2):
-                                    a = (
-                                        w_b * slab[r0:r0 + 1, :]
-                                        + ug * slab[r1:r1 + 1, :]
-                                        + vg * slab[r2:r2 + 1, :]
-                                    )
-                                    return jnp.sum(
-                                        a * selw, axis=1, keepdims=True
-                                    )
-
-                                attrs = [
-                                    interp(9 + c, 12 + c, 15 + c)
-                                    for c in range(3)
-                                ] + [
-                                    interp(18 + c, 22 + c, 26 + c)
-                                    for c in range(4)
-                                ] + [
-                                    interp(30 + c, 32 + c, 34 + c)
-                                    for c in range(2)
-                                ]
-                                mat_row = jnp.sum(
-                                    slab[36:37, :] * selw,
-                                    axis=1,
-                                    keepdims=True,
-                                )
-                                lod_row = jnp.sum(
-                                    slab[37:38, :] * selw,
-                                    axis=1,
-                                    keepdims=True,
-                                )
-                                new_attr = jnp.concatenate(
-                                    attrs
-                                    + [
-                                        mat_row,
-                                        lod_row,
-                                        jnp.zeros((8, 1), jnp.float32),
-                                    ],
-                                    axis=1,
-                                )
-                                attr_scr[ro, :] = jnp.where(
-                                    improved, new_attr, attr_scr[ro, :]
-                                )
-                                btri_scr[ro, :] = jnp.where(
-                                    improved,
-                                    cur * CLUSTER_PAD + jg,
-                                    btri_scr[ro, :],
-                                )
-                                bt_scr[ro, :] = jnp.where(
-                                    improved, tmin, btg
-                                )
-
-                            return 0
-
-                        jax.lax.fori_loop(0, 16, group_body, 0)
-                        best_row = jnp.transpose(bt_scr[...], (1, 0))
-                        return (j_ + 1, n, sp, best_row)
-
-                    jax.lax.while_loop(
-                        cond, rs_body, (jnp.int32(0), n0, spp, best_row0)
-                    )
-                    out[k] = jnp.transpose(
-                        jnp.concatenate(
-                            [
-                                bt_scr[...],
-                                btri_scr[...].astype(jnp.float32),
-                                attr_scr[...],
-                                jnp.zeros((tile, 2), jnp.float32),
-                            ],
-                            axis=1,
-                        ),
-                        (1, 0),
-                    )
-                    return
 
                 def body(state):
                     if fused:
@@ -1016,17 +823,6 @@ def _closest_body(fused, wide=False, masked=False, tile=TILE, raygen=False,
                         t = jnp.full((tile, 128), _INF, jnp.float32)
                         u = jnp.zeros((tile, 128), jnp.float32)
                         v = jnp.zeros((tile, 128), jnp.float32)
-                    elif ISECT_BLOCK == "plucker":
-                        from .trace_plucker import (
-                            _plucker_block,
-                            plucker_rows_from_slab,
-                        )
-
-                        rows = plucker_rows_from_slab(slab[0:9])
-                        hit, t, u, v = _plucker_block(
-                            rows, ox, oy, oz, dx, dy, dz, t_min, best_t,
-                            precision=ISECT_PRECISION,
-                        )
                     else:
                         hit, t, u, v = _moller_block(
                             slab[0:9], ox, oy, oz, dx, dy, dz, t_min, best_t
@@ -1437,33 +1233,18 @@ def trace_closest_bvh_full(
     """
     del t_min
     masked = skip_mask is not None
-    rowskip = ROWSKIP and tile == 128 and not masked
     R, R_out, n_steps, cols, rowdata = _prep_bvh(
         ray_o, ray_d, t_max, perm, tile=tile
     )
-    if rowskip:
-        scratch = [
-            pltpu.VMEM((DMA_DEPTH, ROWS_FULL, 128), tris_packed.dtype),
-            pltpu.SMEM((1, STACK_CAP), jnp.int32),
-            pltpu.SMEM((1, STACK_CAP), jnp.float32),
-            pltpu.VMEM((tile, 12), jnp.float32),  # attr_scr
-            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),  # pend
-            pltpu.VMEM((tile, 8), jnp.float32),  # cols_scr
-            pltpu.VMEM((tile, 1), jnp.float32),  # bt_scr
-            pltpu.VMEM((tile, 1), jnp.int32),  # btri_scr
-            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),  # pend_node
-            pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
-        ]
-    else:
-        scratch = [
-            pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
-            pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), tris_packed.dtype),
-            pltpu.SMEM((1, STACK_CAP), jnp.int32),
-            pltpu.SMEM((1, STACK_CAP), jnp.float32),
-            pltpu.VMEM((tile, 12), jnp.float32),
-            pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
-            pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
-        ]
+    scratch = [
+        pltpu.VMEM((DMA_DEPTH, ROWS_PLAIN, 128), tris_packed.dtype),
+        pltpu.VMEM((1, ROWS_FULL - ROWS_PLAIN, 128), tris_packed.dtype),
+        pltpu.SMEM((1, STACK_CAP), jnp.int32),
+        pltpu.SMEM((1, STACK_CAP), jnp.float32),
+        pltpu.VMEM((tile, 12), jnp.float32),
+        pltpu.SMEM((1, DMA_DEPTH), jnp.int32),
+        pltpu.SemaphoreType.DMA((DMA_DEPTH + 1,)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if masked else 2,
         grid=(n_steps,),
@@ -1476,7 +1257,7 @@ def trace_closest_bvh_full(
     if masked:
         prefetch.append(skip_mask.astype(jnp.int32).reshape(1, -1))
     (out,) = pl.pallas_call(
-        _closest_body(fused=True, masked=masked, tile=tile, rowskip=rowskip),
+        _closest_body(fused=True, masked=masked, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 16, tile), jnp.float32),

@@ -61,14 +61,9 @@ PT_INNER_COMPACT = True  # per-bounce tile re-compaction (A/B flag)
 PT_DEBUG_SHADOW = True
 PT_DEBUG_BOUNCE = True
 PT_DEBUG_SURFACE = True
-BOUNCE_TRACER = "packet"  # "packet" (coherence-sorted packet BVH kernel)
-# or "leafmajor" (per-leaf pair blocks) for bounce/shadow rays;
-# module-level so the A/B scripts can flip it (jax.clear_caches between).
-# Packet is the measured default: on v5e (FlightHelmet 1080p live bounce
-# set, scripts/bench_leafmajor.py, round 4) packet traced bounce-closest
-# in 36.5 ms vs leaf-major 514 ms and shadow-any in 7.6 ms vs 502 ms —
-# the dense O(rays x clusters) pair enumeration that feeds the (fast)
-# pair-block Möller stage swamps everything at wavefront scale.
+# The packet/leafmajor bounce-tracer preference lives in
+# config.policy.bounce_tracer (the --bounce-tracer CLI flag); packet is
+# the measured default — numbers next to the knob in config.KernelPolicy.
 
 
 def _dot(a, b):
@@ -211,9 +206,7 @@ def pt_trace_pixels(
     # The leafmajor/packet decision lives in ops/trace.make_bounce_tracer
     # (one policy; overflow-exact via the *_safe packet fallback).
     bounce_tr = (
-        trace.make_bounce_tracer(
-            packed_full, wc_min, wc_max, bvh, prefer=BOUNCE_TRACER
-        )
+        trace.make_bounce_tracer(packed_full, wc_min, wc_max, bvh)
         if use_full_kernel
         else None
     )

@@ -27,23 +27,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..mathx import rng as prng
 from ..mathx.color import luminance
 from ..mathx.packing import signed_oct_decode
-import os as _os
-
 from ..ops import trace
 from ..ops.brdf import eval_brdf_times_nol
-
-# Rays/packet for the 1024-light shadow batch. Unlike the PT NEE set
-# (one directional light -> coherent packets, 256 measured best,
-# ops/trace.BOUNCE_TILE note), a light-sorted 256-ray packet here spans
-# ~2-4 DIFFERENT scattered lights (131k rays / 1024 lights ~ 128
-# rays/light), so packet union-visit waste is the bound (xprof r4:
-# 64 ms / 512 packets ~ 48 union leaf visits/packet).
-SHADOW_TILE = int(_os.environ.get("RESTIR_SHADOW_TILE", "256"))
 from ..ops.tonemap import tone_map
 from .shading import sample_light
+
+# Rays/packet for the 1024-light shadow batch:
+# config.policy.restir_shadow_tile (the --restir-shadow-tile CLI flag),
+# read at trace time — rationale and measurements next to the knob in
+# config.KernelPolicy.
 
 INITIAL_CANDIDATES = 5
 SPATIAL_SAMPLES = 5
@@ -252,17 +248,14 @@ def restir_shade(
     import jax
 
     # leafmajor/packet decision: ops/trace.make_bounce_tracer (the ONE
-    # policy; packet is the measured default — see pt.BOUNCE_TRACER)
+    # policy, config.policy.bounce_tracer; packet is the measured default)
     bounce_tr = None
     if tris_packed is not None:
-        from .pt import BOUNCE_TRACER
-
         bounce_tr = trace.make_bounce_tracer(
             tris_packed,
             frame["wc_aabb_min_w"],
             frame["wc_aabb_max_w"],
             trace.frame_bvh(frame),
-            prefer=BOUNCE_TRACER,
         )
     if bounce_tr is not None:
         occluded = bounce_tr["any"](shadow_o, shadow_d, 0.1, shadow_tmax)
@@ -291,7 +284,7 @@ def restir_shade(
             )
             occluded = any_fn(
                 shadow_o, shadow_d, 0.1, shadow_tmax, perm=perm,
-                tile=SHADOW_TILE,
+                tile=config.policy.restir_shadow_tile,
             )[inv]
         else:
             occluded = any_fn(shadow_o, shadow_d, 0.1, shadow_tmax)
@@ -312,7 +305,7 @@ def restir_shade(
     return jnp.where(valid[..., None], color, 0.0)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "alpha_rounds"))
+@partial(jax.jit, static_argnames=("width", "height", "alpha_rounds", "tone"))
 def render_restir(
     static_scene: dict,
     frame: dict,
@@ -325,6 +318,7 @@ def render_restir(
     exposure: float = 1.0,
     contrast: float = 1.0,
     alpha_rounds: int = 0,
+    tone: bool = True,
 ):
     """Full ReSTIR DI frame: G-buffer -> reservoirs -> spatial -> trace.
 
@@ -362,10 +356,8 @@ def render_restir(
     lights = frame["lights"]
     geom = trace.frame_geometry(static_scene, frame)
     tris = geom["tris"]
-    from .pt import BOUNCE_TRACER
-
     if trace.bounce_policy(
-        frame["wc_aabb_min_w"].shape[0], trace.frame_bvh(frame), BOUNCE_TRACER
+        frame["wc_aabb_min_w"].shape[0], trace.frame_bvh(frame)
     ):
         # packed once OUTSIDE the chunk loop (loop bodies don't reliably
         # hoist the transform) for the leaf-major shadow batch
@@ -434,6 +426,11 @@ def render_restir(
     color = tile_apply(valid_p, _spatial_shade, in_p)[: px.shape[0]]
     if blocked:
         color = trace.blocks_to_rows(color, width, height)
+    # tone=False when the caller fuses accumulation+tonemap into its own
+    # jitted tail (_accum_tonemap): the internal tone_map would be dead
+    # work XLA cannot DCE across the jit boundary (ADVICE r4).
+    if not tone:
+        return None, color
     img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
     return img, color
 
@@ -456,6 +453,7 @@ def restir_entry(
     img, color = render_restir(
         static, frame, arena, cam, lut, width, height, frame_index,
         exposure, contrast, alpha_rounds=kw.get("alpha_rounds", 0),
+        tone=state is None,
     )
     # Running-mean accumulation like the reference trace pass, fused
     # into ONE jitted dispatch (render/pt._accum_tonemap): the eager

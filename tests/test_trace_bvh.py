@@ -227,38 +227,3 @@ def test_bvh_full_matches_plain_and_interpolates():
     )
     mat = np.asarray(full["material"])[sel]
     np.testing.assert_array_equal(mat, static["wt_material"][tri])
-
-
-def test_bvh_closest_plucker_block_matches_brute_force():
-    """ISECT_BLOCK='plucker' (MXU triangle test) must match brute force
-    like the Möller path (HIGHEST precision: bf16 MXU passes would cost
-    ~1e-2 t error; the f32-emulation path is the parity-exact one)."""
-    import jax
-
-    tris, wc_min, wc_max = _random_scene(n_clusters=6, seed=11)
-    rng = np.random.default_rng(12)
-    R = trace.TILE * 2
-    o = rng.uniform(-8, 8, (R, 3)).astype(np.float32)
-    d = rng.normal(size=(R, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-
-    packed = trace_pallas.pack_tris(tris)
-    bounds, meta = _nodes(wc_min, wc_max)
-    trace_bvh.ISECT_BLOCK = "plucker"
-    trace_bvh.ISECT_PRECISION = jax.lax.Precision.HIGHEST
-    try:
-        with interpret_mode():
-            got = trace_bvh.trace_closest_bvh(
-                packed, bounds, meta, jnp.asarray(o), jnp.asarray(d),
-                1e-4, np.inf,
-            )
-    finally:
-        trace_bvh.ISECT_BLOCK = "moller"
-        trace_bvh.ISECT_PRECISION = None
-    want_tri, want_t = _brute_force(tris, o, d, 1e-4, np.inf)
-
-    got_tri = np.asarray(got["tri"])
-    got_t = np.asarray(got["t"])
-    np.testing.assert_array_equal(got_tri < 0, want_tri < 0)
-    sel = want_tri >= 0
-    np.testing.assert_allclose(got_t[sel], want_t[sel], rtol=1e-4, atol=1e-5)

@@ -186,8 +186,10 @@ def test_pt_frame_leafmajor_matches_packet():
     with interpret_mode(), mock.patch.object(
         jax, "default_backend", lambda: "tpu"
     ):
+        from prosper_tpu import config
+
         for tracer in ("packet", "leafmajor"):
-            pt.BOUNCE_TRACER = tracer
+            config.policy.bounce_tracer = tracer
             jax.clear_caches()
             try:
                 imgs[tracer] = np.asarray(
@@ -196,7 +198,7 @@ def test_pt_frame_leafmajor_matches_packet():
                     )
                 )
             finally:
-                pt.BOUNCE_TRACER = "leafmajor"
+                config.policy.bounce_tracer = "packet"
         jax.clear_caches()
     assert np.isfinite(imgs["packet"]).all()
     assert np.abs(imgs["packet"]).sum() > 0
