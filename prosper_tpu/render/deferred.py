@@ -149,23 +149,29 @@ def render_deferred(
         and width % 32 == 0
     )
     order = "block16" if blocked else "row"
-    gbuf = render_gbuffer(
-        static_scene, frame, arena, cam, width, height,
-        use_culling=use_culling, prev_hiz=prev_hiz,
-        lod_bias=-1.0 if use_taa else 0.0,
-        alpha_rounds=alpha_rounds,
-        pixel_order=order,
-        aniso_taps=aniso_taps,
-    )
-    clusters = (
-        None
-        if jax.default_backend() != "cpu"
-        else build_light_clusters(cam, frame["lights"], width, height)
-    )
-    color = shade_deferred(
-        gbuf, clusters, frame["lights"], cam, width, height, ibl_data,
-        pixel_order=order,
-    )
+    # per-pass device attribution: named scopes become HLO op metadata
+    # that utils/profiler.profile_passes joins with xplane timings — the
+    # GPU-timestamp-scope analog inside one fused jit (Profiler.hpp:19)
+    with jax.named_scope("gbuffer"):
+        gbuf = render_gbuffer(
+            static_scene, frame, arena, cam, width, height,
+            use_culling=use_culling, prev_hiz=prev_hiz,
+            lod_bias=-1.0 if use_taa else 0.0,
+            alpha_rounds=alpha_rounds,
+            pixel_order=order,
+            aniso_taps=aniso_taps,
+        )
+    with jax.named_scope("light_clustering"):
+        clusters = (
+            None
+            if jax.default_backend() != "cpu"
+            else build_light_clusters(cam, frame["lights"], width, height)
+        )
+    with jax.named_scope("shading"):
+        color = shade_deferred(
+            gbuf, clusters, frame["lights"], cam, width, height, ibl_data,
+            pixel_order=order,
+        )
     if ibl_data is not None and "env" in ibl_data:
         # skybox background (SkyboxRenderer analog): sample the env along
         # the view ray for miss pixels — composed in trace order so one
@@ -173,29 +179,28 @@ def render_deferred(
         from ..ops.ibl import sample_cubemap
         from ..ops.rays import pinhole_rays
 
-        if blocked:
-            from ..ops import trace as _trace
+        with jax.named_scope("skybox"):
+            if blocked:
+                from ..ops import trace as _trace
 
-            px_np, py_np, _hp = _trace.block_order_padded(width, height)
-            uv = jnp.stack(
-                [
-                    (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
-                    (jnp.asarray(py_np).astype(jnp.float32) + 0.5) / height,
-                ],
-                axis=-1,
-            )
-            _, vd = pinhole_rays(cam, uv)
-            sky = sample_cubemap(ibl_data["env"], vd)
-            color = jnp.where(gbuf["valid"][..., None], color, sky)
-        else:
-            ys, xs = jnp.meshgrid(
-                (jnp.arange(height, dtype=jnp.float32) + 0.5) / height,
-                (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
-                indexing="ij",
-            )
-            _, vd = pinhole_rays(
-                cam, jnp.stack([xs, ys], -1).reshape(height * width, 2)
-            )
+                px_np, py_np, _hp = _trace.block_order_padded(width, height)
+                uv = jnp.stack(
+                    [
+                        (jnp.asarray(px_np).astype(jnp.float32) + 0.5) / width,
+                        (jnp.asarray(py_np).astype(jnp.float32) + 0.5) / height,
+                    ],
+                    axis=-1,
+                )
+                _, vd = pinhole_rays(cam, uv)
+            else:
+                ys, xs = jnp.meshgrid(
+                    (jnp.arange(height, dtype=jnp.float32) + 0.5) / height,
+                    (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
+                    indexing="ij",
+                )
+                _, vd = pinhole_rays(
+                    cam, jnp.stack([xs, ys], -1).reshape(height * width, 2)
+                )
             sky = sample_cubemap(ibl_data["env"], vd)
             color = jnp.where(gbuf["valid"][..., None], color, sky)
 
@@ -214,20 +219,22 @@ def render_deferred(
         # ForwardRenderer::recordTransparent slot (Renderer.cpp:494-500)
         from .transparent import transparent_pass
 
-        hdr = transparent_pass(
-            static_scene, frame, arena, cam, hdr, _b2r(gbuf["z_cam"]),
-            width, height, ibl_data,
-        )
+        with jax.named_scope("transparent"):
+            hdr = transparent_pass(
+                static_scene, frame, arena, cam, hdr, _b2r(gbuf["z_cam"]),
+                width, height, ibl_data,
+            )
 
     if use_bloom:
-        if bloom_technique == "fft":
-            from ..ops.bloom import bloom_fft
+        with jax.named_scope("bloom"):
+            if bloom_technique == "fft":
+                from ..ops.bloom import bloom_fft
 
-            hdr = bloom_fft(hdr, kernel_image=bloom_kernel)
-        else:
-            from ..ops.bloom import bloom_multi_res
+                hdr = bloom_fft(hdr, kernel_image=bloom_kernel)
+            else:
+                from ..ops.bloom import bloom_multi_res
 
-            hdr = bloom_multi_res(hdr)
+                hdr = bloom_multi_res(hdr)
 
     new_particles = None
     if use_particles:
@@ -238,30 +245,34 @@ def render_deferred(
 
         # per-frame pcg stream (simulate.comp parity): the frame index
         # must advance or spawn/steer noise repeats identically
-        st = simulate(particle_state, 1.0 / 60.0, frame_index)
-        depth_img = _b2r(gbuf["depth"]).reshape(height, width)
-        hdr = render_particles(st, hdr, depth_img, cam)
+        with jax.named_scope("particles"):
+            st = simulate(particle_state, 1.0 / 60.0, frame_index)
+            depth_img = _b2r(gbuf["depth"]).reshape(height, width)
+            hdr = render_particles(st, hdr, depth_img, cam)
         new_particles = st
 
     new_history = None
     if use_taa:
         from ..ops.taa import taa_resolve
 
-        velocity = _b2r(gbuf["velocity"]).reshape(height, width, 2)
-        depth = _b2r(gbuf["depth"]).reshape(height, width)
-        prev = hdr if taa_history is None else taa_history
-        hdr = taa_resolve(hdr, prev, velocity, depth)
+        with jax.named_scope("taa"):
+            velocity = _b2r(gbuf["velocity"]).reshape(height, width, 2)
+            depth = _b2r(gbuf["depth"]).reshape(height, width)
+            prev = hdr if taa_history is None else taa_history
+            hdr = taa_resolve(hdr, prev, velocity, depth)
         new_history = hdr
 
     if use_dof:
         from ..ops.dof import depth_of_field
 
-        view_depth = jnp.maximum(
-            -_b2r(gbuf["z_cam"]).reshape(height, width), 1e-3
-        )
-        hdr = depth_of_field(hdr, view_depth, cam)
+        with jax.named_scope("dof"):
+            view_depth = jnp.maximum(
+                -_b2r(gbuf["z_cam"]).reshape(height, width), 1e-3
+            )
+            hdr = depth_of_field(hdr, view_depth, cam)
 
-    img = tone_map(hdr, lut, exposure, contrast)
+    with jax.named_scope("tonemap"):
+        img = tone_map(hdr, lut, exposure, contrast)
     aux = {
         "taa_history": new_history,
         "particles": new_particles,
@@ -328,7 +339,10 @@ def deferred_entry(
         dim = 1 << (half - 1).bit_length()
         bloom_kernel = generate_kernel(dim)
 
-    img, aux = render_deferred(
+    from ..utils.profiler import profiled_jit_call
+
+    img, aux = profiled_jit_call(
+        render_deferred,
         static,
         frame,
         arena,

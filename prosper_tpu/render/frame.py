@@ -29,7 +29,10 @@ def _forward_entry(
     use_transparent=False,
     **kw,
 ):
-    img = render_forward(
+    from ..utils.profiler import profiled_jit_call
+
+    img = profiled_jit_call(
+        render_forward,
         static, frame, arena, cam, lut, width, height, exposure, contrast,
         draw_type, use_transparent,
         alpha_rounds=kw.get("alpha_rounds", 0),

@@ -562,6 +562,10 @@ def pt_trace_pixels(
 
     h16_rows = None
     hit0 = None
+    # named pass scope: per-pass device attribution via
+    # utils/profiler.profile_passes (Profiler.hpp:19-327 analog)
+    primary_scope = jax.named_scope("primary_trace")
+    primary_scope.__enter__()
     if raygen:
         # in-kernel primary raygen: jittered pinhole rays are generated
         # inside the trace kernel from static pixel layouts + camera
@@ -607,6 +611,7 @@ def pt_trace_pixels(
             # per-field tile views (each a full relayout copy)
             h16_rows = pack_hit16(hit0)
         hit_tri = hit0["tri"].astype(jnp.float32)
+    primary_scope.__exit__(None, None, None)
 
     color_full = jnp.zeros((R, 3), jnp.float32)
     if env is not None:
@@ -810,9 +815,11 @@ def pt_trace_pixels(
         color_full = color_full.at[slc].add(c_color.reshape(CT, TILE * 3))
         return color_full, n_rays + n_extra
 
-    color_full, n_rays = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, (color_full.reshape(n_tiles, TILE * 3), n_rays)
-    )
+    with jax.named_scope("wavefront"):
+        color_full, n_rays = jax.lax.fori_loop(
+            0, n_chunks, chunk_body,
+            (color_full.reshape(n_tiles, TILE * 3), n_rays),
+        )
     return color_full.reshape(R, 3)[:R0], n_rays
 
 
@@ -900,9 +907,11 @@ def _accum_tonemap(prev_color, prev_count, sample_flat, lut, exposure,
     eager chain serialized frame i+1's dispatch behind frame i's tail.
     The sample render takes no state, so with the tail fused the next
     frame's render overlaps this frame's accumulation."""
-    sample = sample_flat.reshape(height, width, 3)
-    color, count = pt_accumulate(prev_color, prev_count, sample)
-    img = tone_map(color, lut, exposure, contrast)
+    with jax.named_scope("accumulate"):
+        sample = sample_flat.reshape(height, width, 3)
+        color, count = pt_accumulate(prev_color, prev_count, sample)
+    with jax.named_scope("tonemap"):
+        img = tone_map(color, lut, exposure, contrast)
     return img, color, count
 
 
@@ -926,18 +935,23 @@ def pt_entry(
     **_,
 ):
     """CLI-facing PT mode: renders one sample, accumulates, tonemaps."""
-    sample = pt_render_sample(
+    from ..utils.profiler import profiled_jit_call
+
+    sample = profiled_jit_call(
+        pt_render_sample,
         static, frame, arena, cam, width, height, frame_index, max_bounces,
         env=env, alpha_rounds=alpha_rounds,
     )
     if state is None or not accumulate:
-        img, color, count = _accum_tonemap(
+        img, color, count = profiled_jit_call(
+            _accum_tonemap,
             jnp.zeros((height, width, 3), jnp.float32),
             jnp.zeros((height, width), jnp.float32),
             sample, lut, exposure, contrast, width=width, height=height,
         )
     else:
-        img, color, count = _accum_tonemap(
+        img, color, count = profiled_jit_call(
+            _accum_tonemap,
             state[0], state[1], sample, lut, exposure, contrast,
             width=width, height=height,
         )

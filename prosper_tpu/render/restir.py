@@ -333,11 +333,14 @@ def render_restir(
     from .gbuffer import render_gbuffer
 
     blocked = jax.default_backend() != "cpu" and width % 32 == 0
-    gbuf = render_gbuffer(
-        static_scene, frame, arena, cam, width, height,
-        alpha_rounds=alpha_rounds,
-        pixel_order="block16" if blocked else "row",
-    )
+    # named pass scopes: per-pass device attribution via
+    # utils/profiler.profile_passes (Profiler.hpp:19-327 analog)
+    with jax.named_scope("gbuffer"):
+        gbuf = render_gbuffer(
+            static_scene, frame, arena, cam, width, height,
+            alpha_rounds=alpha_rounds,
+            pixel_order="block16" if blocked else "row",
+        )
     surface = dict(gbuf["surface"])
     # linear depth from the non-linear buffer like the comp shaders
     c2c = cam["camera_to_clip"]
@@ -398,11 +401,13 @@ def render_restir(
         li, ucw = initial_reservoirs(c_surface, lights, c_px, c_py, frame_index)
         return {"li": jnp.where(lane_ok, li, -1), "ucw": ucw}
 
-    r0 = tile_apply(valid_p, _initial, in_p)
+    with jax.named_scope("ris_initial"):
+        r0 = tile_apply(valid_p, _initial, in_p)
     li0 = jnp.where(valid_p, r0["li"], -1)[: px.shape[0]]
     ucw0 = r0["ucw"][: px.shape[0]]
 
-    neigh_rows = pack_neighbor_rows(gbuf2, li0, ucw0)
+    with jax.named_scope("ris_initial"):
+        neigh_rows = pack_neighbor_rows(gbuf2, li0, ucw0)
     if blocked:
         # the spatial pass reads neighbors at absolute row-major
         # coordinates: ONE 8-channel regular transpose (vs the 16-channel
@@ -423,7 +428,8 @@ def render_restir(
         )
         return color
 
-    color = tile_apply(valid_p, _spatial_shade, in_p)[: px.shape[0]]
+    with jax.named_scope("spatial_shade"):
+        color = tile_apply(valid_p, _spatial_shade, in_p)[: px.shape[0]]
     if blocked:
         color = trace.blocks_to_rows(color, width, height)
     # tone=False when the caller fuses accumulation+tonemap into its own
@@ -431,7 +437,10 @@ def render_restir(
     # work XLA cannot DCE across the jit boundary (ADVICE r4).
     if not tone:
         return None, color
-    img = tone_map(color.reshape(height, width, 3), lut, exposure, contrast)
+    with jax.named_scope("tonemap"):
+        img = tone_map(
+            color.reshape(height, width, 3), lut, exposure, contrast
+        )
     return img, color
 
 
@@ -450,7 +459,10 @@ def restir_entry(
     state=None,
     **kw,
 ):
-    img, color = render_restir(
+    from ..utils.profiler import profiled_jit_call
+
+    img, color = profiled_jit_call(
+        render_restir,
         static, frame, arena, cam, lut, width, height, frame_index,
         exposure, contrast, alpha_rounds=kw.get("alpha_rounds", 0),
         tone=state is None,
@@ -467,7 +479,8 @@ def restir_entry(
     else:
         from .pt import _accum_tonemap
 
-        img, acc, count = _accum_tonemap(
+        img, acc, count = profiled_jit_call(
+            _accum_tonemap,
             state[0], state[1], color, lut, exposure, contrast,
             width=width, height=height,
         )

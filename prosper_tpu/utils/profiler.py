@@ -123,6 +123,167 @@ class Profiler:
 gprofiler = Profiler()
 
 
+# -- per-pass DEVICE profiling (non-blocking) -----------------------------
+#
+# The reference's per-pass GPU timestamp queries (Profiler.hpp:19-327)
+# wrap each pass's command recording; the TPU frame is ONE fused jit, so
+# pass attribution instead rides jax.named_scope: every pass body is
+# wrapped in a named scope (render/deferred.py etc.), the compiled HLO
+# carries `metadata={op_name="jit(f)/<pass>/..."}` per instruction, and
+# one jax.profiler trace of a warm frame yields per-op device self-times
+# that are joined on the op name and aggregated per pass. Nothing
+# blocks: the traced frames dispatch exactly like the steady-state loop.
+
+_CAPTURE: list | None = None
+
+
+def profiled_jit_call(fn, *args, **kwargs):
+    """Call a frame-level jitted function, recording (fn, args, kwargs)
+    when a capture is active so the profiler can AOT-lower the SAME call
+    later for its scope map. Mode entries route their jit calls through
+    this; overhead outside capture is one global check."""
+    if _CAPTURE is not None:
+        _CAPTURE.append((fn, args, kwargs))
+    return fn(*args, **kwargs)
+
+
+@contextlib.contextmanager
+def capture_jit_calls(out: list):
+    global _CAPTURE
+    _CAPTURE = out
+    try:
+        yield out
+    finally:
+        _CAPTURE = None
+
+
+def _scope_of_op_name(op_name: str) -> str | None:
+    """'jit(f)/transpose/gbuffer/mul' -> 'gbuffer' (first path component
+    that is a named scope, i.e. not jit(...)/transpose/vmap(...) glue)."""
+    for part in op_name.split("/"):
+        if not part or part.startswith(("jit(", "vmap(", "transpose", "pjit")):
+            continue
+        return part
+    return None
+
+
+def scope_map_from_text(hlo_text: str) -> dict:
+    """Compiled-HLO text -> {instruction name: pass scope}."""
+    import re
+
+    out = {}
+    pat = re.compile(r"%?([\w.\-]+) = .*op_name=\"([^\"]+)\"")
+    for line in hlo_text.splitlines():
+        if "op_name=" not in line:
+            continue
+        m = pat.search(line)
+        if not m:
+            continue
+        scope = _scope_of_op_name(m.group(2))
+        if scope:
+            out[m.group(1)] = scope
+    return out
+
+
+def scope_map_for_calls(calls) -> dict:
+    """AOT-lower each captured (jitted fn, args, kwargs) — a cache hit
+    for both the local jit cache's lowering and the persistent compile
+    cache — and merge the per-module scope maps."""
+    merged: dict = {}
+    for fn, args, kwargs in calls:
+        try:
+            txt = fn.lower(*args, **kwargs).compile().as_text()
+        except Exception:  # noqa: BLE001 — profiling must not break a run
+            continue
+        merged.update(scope_map_from_text(txt))
+    return merged
+
+
+def _event_rows(trace_dir: str):
+    """Yield (start_ns, end_ns, op_key) device-op events from the first
+    xplane: TPU 'XLA Ops' lines (op_key from the '%name = ...' text) or
+    the CPU thunk lines (op_key from the hlo_op stat)."""
+    import glob as _glob
+    import os as _os
+
+    from jax.profiler import ProfileData
+
+    paths = _glob.glob(
+        _os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        return
+    data = ProfileData.from_file(paths[0])
+    for plane in data.planes:
+        for line in plane.lines:
+            if line.name == "XLA Ops":
+                for ev in line.events:
+                    name = ev.name.split(" = ")[0].lstrip("%")
+                    yield ev.start_ns, ev.end_ns, name
+            elif line.name.startswith("tf_XLAPjRtCpuClient"):
+                for ev in line.events:
+                    op = dict(ev.stats).get("hlo_op")
+                    if op:
+                        yield ev.start_ns, ev.end_ns, op
+
+
+def device_pass_table(trace_dir: str, scope_map: dict, frames: int = 1):
+    """[(pass, device_ms/frame)] — per-op SELF times (nested while/cond/
+    fusion events otherwise double-count their contents), joined to pass
+    scopes via scope_map; unmatched ops aggregate as '(other)'."""
+    from collections import defaultdict
+
+    evs = sorted(_event_rows(trace_dir), key=lambda t: (t[0], -t[1]))
+    self_ms: dict = defaultdict(float)
+    stack: list = []
+    child: list = []
+    for s, e, name in evs:
+        while stack and s >= stack[-1][0]:
+            _end, nm, ci = stack.pop()
+            dur = child[ci][0]
+            self_ms[nm] += (dur - child[ci][1]) / 1e6
+            if stack:
+                child[stack[-1][2]][1] += dur
+        child.append([e - s, 0.0])
+        stack.append((e, name, len(child) - 1))
+    while stack:
+        _end, nm, ci = stack.pop()
+        self_ms[nm] += (child[ci][0] - child[ci][1]) / 1e6
+        if stack:
+            child[stack[-1][2]][1] += child[ci][0]
+
+    per_pass: dict = defaultdict(float)
+    for name, ms in self_ms.items():
+        per_pass[scope_map.get(name, "(other)")] += ms
+    return sorted(
+        ((p, ms / max(frames, 1)) for p, ms in per_pass.items()),
+        key=lambda kv: -kv[1],
+    )
+
+
+def profile_passes(run_frame, force, frames: int = 2,
+                   trace_dir: str = "/tmp/prosper_pass_trace"):
+    """Non-blocking per-pass device table for a steady-state frame.
+
+    run_frame() dispatches one frame (returning its output arrays);
+    force(out) materializes them. One warm call captures the frame's jit
+    calls for the scope map, then `frames` calls run under the profiler
+    exactly as the frame loop dispatches them."""
+    import shutil
+
+    import jax
+
+    calls: list = []
+    with capture_jit_calls(calls):
+        force(run_frame())  # warm + capture
+    scope_map = scope_map_for_calls(calls)
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(frames):
+            force(run_frame())
+    return device_pass_table(trace_dir, scope_map, frames=frames)
+
+
 def device_op_report(trace_dir: str, top_n: int = 20, runs: int = 1):
     """Per-op DEVICE times from a jax.profiler trace directory.
 
