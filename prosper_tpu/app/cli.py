@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--streaming", action="store_true",
                    help="async asset streaming (deferred loading)")
     r.add_argument("--no-cache", action="store_true", help="bypass asset caches")
+    r.add_argument(
+        "--instance-grid", type=int, default=1, metavar="N",
+        help="replicate the scene on an NxN ground grid (scale testing; "
+        "clusters/draw instances/TLAS scale with it)",
+    )
     r.add_argument("--fps-limit", type=float, default=0.0,
                    help="cap frame rate like the reference's spin limiter (0 = off)")
     r.add_argument("--profile", action="store_true", help="per-pass timing report")
@@ -216,7 +221,10 @@ def main(argv: list[str] | None = None) -> int:
     enable_compile_cache()
 
     t0 = time.time()
-    world = World(args.scene, use_cache=not args.no_cache, streaming=args.streaming)
+    world = World(
+        args.scene, use_cache=not args.no_cache, streaming=args.streaming,
+        instance_grid=args.instance_grid,
+    )
     texture_jobs = []
     if args.streaming:
         # layout from headers; contents stream in after meshes

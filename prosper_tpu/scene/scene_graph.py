@@ -132,6 +132,55 @@ def build_scene_graph(doc: GltfDocument, scene_index: int | None = None) -> Scen
     return graph
 
 
+def replicate_graph_grid(graph: SceneGraph, offsets: np.ndarray) -> None:
+    """Instance the whole scene at each world-space offset (in place).
+
+    Scale-evidence path (BASELINE config 2 / Sponza-class scenes without
+    the asset): every node subtree is duplicated per offset with the
+    offset folded into the copied roots' translations, extending
+    model_instance_nodes — draw instances, the world-cluster arena and
+    the per-frame TLAS all scale with it through the normal pipeline.
+    Copies share gltf_index, so animations drive every replica; light
+    and camera markers are stripped from copies (light caps stay
+    honest, the camera stays unique)."""
+    base_nodes = list(graph.nodes)
+    base_roots = list(graph.roots)
+    for off in np.asarray(offsets, np.float32):
+        remap: dict[int, int] = {}
+
+        def copy(idx: int) -> int:
+            if idx in remap:
+                return remap[idx]
+            b = base_nodes[idx]
+            sn = SceneNode(
+                gltf_index=b.gltf_index,
+                translation=None if b.translation is None else b.translation.copy(),
+                rotation=None if b.rotation is None else b.rotation.copy(),
+                scale=None if b.scale is None else b.scale.copy(),
+                mesh=b.mesh,
+                dynamic_transform=b.dynamic_transform,
+            )
+            new_idx = len(graph.nodes)
+            graph.nodes.append(sn)
+            remap[idx] = new_idx
+            if b.mesh is not None:
+                sn.model_instance = len(graph.model_instance_nodes)
+                graph.model_instance_nodes.append(new_idx)
+            sn.children = [copy(c) for c in b.children]
+            return new_idx
+
+        # synthetic offset parent (gltf_index -1 -> never animated; an
+        # animated root's translation channel would otherwise overwrite
+        # a folded-in offset and collapse replicas onto the original)
+        wrapper = SceneNode(
+            gltf_index=-1,
+            translation=off.copy(),
+            children=[copy(r) for r in base_roots],
+        )
+        graph.nodes.append(wrapper)
+        graph.roots.append(len(graph.nodes) - 1)
+
+
 @dataclass
 class SceneTransforms:
     """Flat per-frame outputs of the updateScene DFS."""

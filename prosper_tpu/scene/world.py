@@ -285,6 +285,7 @@ class World:
         scene_index: int | None = None,
         use_cache: bool = True,
         streaming: bool = False,
+        instance_grid: int = 1,
     ) -> None:
         log_info("Loading world %s", path)
         self.path = path
@@ -371,6 +372,47 @@ class World:
         self.a_packed[:, 0:3] = self.a_normal
         self.a_packed[:, 3:7] = self.a_tangent
         self.a_packed[:, 7:9] = self.a_uv
+
+        if instance_grid > 1:
+            # Scale evidence (BASELINE config 2, Sponza-class): instance
+            # the scene on an N x N ground grid through the normal node
+            # pipeline — draw instances, world-cluster arena, culling and
+            # the per-frame TLAS all scale with it. Spacing from the base
+            # scene's world AABB with a small margin.
+            from .scene_graph import replicate_graph_grid, update_scene
+
+            st0 = update_scene(self.graph)
+            lo = np.full(3, np.inf, np.float32)
+            hi = np.full(3, -np.inf, np.float32)
+            for inst, node_idx in enumerate(self.graph.model_instance_nodes):
+                gm = self.graph.nodes[node_idx].mesh
+                m = st0.model_to_world[inst]
+                for mi in range(
+                    self.model_first_mesh[gm], self.model_first_mesh[gm + 1]
+                ):
+                    P = self.meshes[mi].positions
+                    if len(P) == 0:
+                        continue
+                    pl, ph = P.min(axis=0), P.max(axis=0)
+                    corners = np.array(
+                        [[pl[0], pl[1], pl[2]], [pl[0], pl[1], ph[2]],
+                         [pl[0], ph[1], pl[2]], [pl[0], ph[1], ph[2]],
+                         [ph[0], pl[1], pl[2]], [ph[0], pl[1], ph[2]],
+                         [ph[0], ph[1], pl[2]], [ph[0], ph[1], ph[2]]],
+                        np.float32,
+                    )
+                    w = corners @ m[:3, :3].T + m[:3, 3]
+                    lo = np.minimum(lo, w.min(axis=0))
+                    hi = np.maximum(hi, w.max(axis=0))
+            spacing = (hi - lo) * 1.15
+            n = instance_grid
+            offsets = [
+                np.array([gx * spacing[0], 0.0, gz * spacing[2]], np.float32)
+                for gx in range(-(n // 2), n - n // 2)
+                for gz in range(-(n // 2), n - n // 2)
+                if not (gx == 0 and gz == 0)
+            ]
+            replicate_graph_grid(self.graph, np.stack(offsets))
 
         # Draw instances: scene-order flattening of submodels
         # (World.cpp:500-503: order must stay stable for TLAS custom indices).
