@@ -145,6 +145,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="rays/packet for the ReSTIR 1024-light shadow batch "
         "(default: see prosper_tpu/config.py)",
     )
+    r.add_argument(
+        "--bounce-tap-mip", type=int, default=None, metavar="K",
+        help="texture mip for secondary-bounce surface taps in PT "
+        "(0 = base-mip reference parity; default: see prosper_tpu/config.py)",
+    )
     return p
 
 
@@ -160,6 +165,8 @@ def _apply_policy(args) -> None:
         config.policy.bounce_tracer = args.bounce_tracer
     if args.restir_shadow_tile is not None:
         config.policy.restir_shadow_tile = int(args.restir_shadow_tile)
+    if args.bounce_tap_mip is not None:
+        config.policy.bounce_tap_mip = int(args.bounce_tap_mip)
 
 
 def _source_mtimes(root: str) -> dict:

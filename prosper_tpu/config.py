@@ -38,6 +38,16 @@ class KernelPolicy:
     # Möller stage).
     bounce_tracer: str = "packet"
 
+    # Texture mip for SECONDARY-bounce surface taps in the PT wavefront
+    # (0 = base-mip parity with the reference's derivative-free
+    # texture()). Base-mip taps gather-randomly into the full ~700 MB
+    # quad arena (~46 ns/row HBM latency — ~13 ms/frame of the 1080p PT
+    # xplane, round 5); mip 4 shrinks the working set 256x, and bounce
+    # radiance is hemisphere-averaged so a coarse footprint is the more
+    # physically reasonable filter anyway. Primary-surface taps are
+    # unaffected (pixel parity).
+    bounce_tap_mip: int = 4
+
     # Rays/packet for the ReSTIR 1024-light shadow batch. Unlike the PT
     # NEE set (one directional light -> coherent packets, 256 best), a
     # light-sorted 256-ray packet here spans ~2-4 DIFFERENT scattered

@@ -155,7 +155,8 @@ def pack_material_tables(materials: dict, arena: dict):
 
 
 def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv, lod=None,
-                           duv_major=None, aniso_taps: int = 1):
+                           duv_major=None, aniso_taps: int = 1,
+                           fixed_mip: int | None = None):
     """Fast-path sampleMaterial over the packed tables.
 
     lod=None: base-mip (the RT shaders' derivative-free texture()).
@@ -165,11 +166,28 @@ def sample_material_packed(arena: dict, mat_idx: jnp.ndarray, uv, lod=None,
     duv_major + aniso_taps > 1: anisotropic filtering — lod is then the
     MINOR-axis footprint and every texture takes `aniso_taps` trilinear
     taps along the uv-space major axis (maxAnisotropy=16 sampler parity,
-    WorldData.cpp:693-714)."""
+    WorldData.cpp:693-714).
+    fixed_mip: sample every texture at ONE clamped integer mip instead
+    of base/lod. Secondary-bounce surfaces use this
+    (config.policy.bounce_tap_mip): base-mip taps gather-randomly into
+    the full ~700 MB quad arena at ~46 ns/row HBM latency, while mip>=4
+    shrinks the working set 256x; bounce radiance is hemisphere-averaged
+    so the footprint is huge anyway (wider than mip 4 for typical
+    scenes) — closer to the correct filtered radiance than the
+    reference's derivative-free texture() at base mip, and measured
+    ms-level wins on the PT wavefront."""
     f32 = arena["mat_f32"][mat_idx]  # (R, 8)
     i32 = arena["mat_i32"][mat_idx]  # (R, 16)
 
-    if lod is None:
+    if fixed_mip is not None:
+        def tex_sample(tex_ids, entry0, linear=False):
+            del entry0
+            mip = jnp.minimum(
+                fixed_mip, arena["n_mips"][tex_ids].astype(jnp.int32) - 1
+            )
+            return sample_bilinear(arena, tex_ids, uv, mip,
+                                   assume_linear=linear)
+    elif lod is None:
         def tex_sample(tex_ids, entry0, linear=False):
             del tex_ids
             return _bilinear_entry(arena, entry0, uv, assume_linear=linear)

@@ -392,9 +392,17 @@ def pt_trace_pixels(
                 "alpha": jnp.ones((R_,)),
             }
         elif use_full_kernel:
+            from .. import config
             from .surface import evaluate_surface_from_attrs
 
-            surface = evaluate_surface_from_attrs(arena, ray_o, ray_d, hit)
+            # Secondary surfaces sample at one coarse mip
+            # (config.policy.bounce_tap_mip): see sample_material_packed.
+            # Primary (bounce 0) stays at base mip for pixel parity.
+            mip = config.policy.bounce_tap_mip if bounce > 0 else None
+            surface = evaluate_surface_from_attrs(
+                arena, ray_o, ray_d, hit,
+                fixed_mip=mip if mip and mip > 0 else None,
+            )
         else:
             surface = evaluate_surface(
                 static_scene, frame, arena, ray_o, ray_d, hit

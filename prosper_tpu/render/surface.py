@@ -76,6 +76,7 @@ def evaluate_surface_from_attrs(
     hit: dict,
     cone: dict | None = None,
     tris_packed: jnp.ndarray | None = None,
+    fixed_mip: int | None = None,
 ):
     """VisibleSurface from the fused hit kernel's interpolated attributes
     (ops/trace_pallas_full.py): zero vertex/instance gathers — only the
@@ -124,6 +125,7 @@ def evaluate_surface_from_attrs(
     mat = sample_material_packed(
         arena, material, uv, lod,
         duv_major=duv_major, aniso_taps=aniso_taps if lod is not None else 1,
+        fixed_mip=fixed_mip,
     )
     has_map = (mat["normal_ts"][..., 0] != -2.0) & (t_sign != 0.0)
     n_mapped = mapped_normal(mat["normal_ts"], n_ws, t_ws, t_sign)
