@@ -23,10 +23,13 @@ from dataclasses import dataclass
 class KernelPolicy:
     # Any-hit (shadow) BVH descent in ops/trace.make_tracer when node
     # arrays are present: "stack" (ordered BVH2 walk) or "dense"
-    # (all-rays x all-clusters cull + argmin pops). Measured on v5e
-    # (scripts/bench_dense.py, round 4, 70k-ray shadow batch): dense
-    # 7.56 ms vs stack 8.85 ms, but dense is O(C) per packet — the
-    # frame-level A/B decides the default (VERDICT r4 next #2).
+    # (all-rays x all-clusters cull + argmin pops). In-situ, dense won
+    # the isolated 70k-ray shadow batch 7.56 vs 8.85 ms (round 4); at
+    # FRAME level it loses — PT 3-bounce frame 191.8 ms (dense) vs
+    # 173.9 ms (stack), same session, scripts/bench_ab_r5.py round 5 —
+    # the O(C)-per-packet cull swamps the per-visit win across the
+    # frame's coherent-directional NEE batches. Stack is the measured
+    # default.
     any_tracer: str = "stack"
 
     # Incoherent (bounce/shadow) ray tracer preference consumed by
@@ -40,20 +43,24 @@ class KernelPolicy:
 
     # Texture mip for SECONDARY-bounce surface taps in the PT wavefront
     # (0 = base-mip parity with the reference's derivative-free
-    # texture()). Base-mip taps gather-randomly into the full ~700 MB
-    # quad arena (~46 ns/row HBM latency — ~13 ms/frame of the 1080p PT
-    # xplane, round 5); mip 4 shrinks the working set 256x, and bounce
-    # radiance is hemisphere-averaged so a coarse footprint is the more
-    # physically reasonable filter anyway. Primary-surface taps are
-    # unaffected (pixel parity).
-    bounce_tap_mip: int = 4
+    # texture()). MEASURED NO-WIN on v5e (scripts/bench_ab_r5.py,
+    # round 5): mip 4 shrinks the gather working set 256x but the frame
+    # was 173.9 ms vs 170.7 base-mip, same session — the ~13 ms of quad-
+    # arena gathers in the PT xplane are bound by per-row gather issue
+    # latency, not DRAM locality, so a smaller footprint buys nothing.
+    # Default stays 0 (exact reference parity); the knob remains for
+    # texture sets large enough to page.
+    bounce_tap_mip: int = 0
 
     # Rays/packet for the ReSTIR 1024-light shadow batch. Unlike the PT
     # NEE set (one directional light -> coherent packets, 256 best), a
     # light-sorted 256-ray packet here spans ~2-4 DIFFERENT scattered
     # lights (131k rays / 1024 lights ~ 128 rays/light), so packet
     # union-visit waste is the bound (xprof r4: 64 ms / 512 packets ~
-    # 48 union leaf visits/packet). 128 vs 256 A/B: see ROADMAP r5.
+    # 48 union leaf visits/packet). Frame-level A/B
+    # (scripts/bench_ab_r5.py, round 5): 128 measured 143.3 vs 145.6 ms
+    # at 256 — within session noise, so packet size is NOT the lever
+    # here; 256 stays (knob closed with data).
     restir_shadow_tile: int = 256
 
 
