@@ -76,30 +76,34 @@ def from_tiles(tiles: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
 
 def to_tiles_from_blocks(flat: jnp.ndarray, width: int) -> jnp.ndarray:
     """(R_pad, C) in block16 order (trace.block_order_padded) ->
-    (T, C, 8, 128) froxel tiles. A 32 px froxel tile is exactly a 2x2
-    group of 16 px trace blocks, so this is a REGULAR transpose — the
-    whole reason the deferred path keeps the frame in block order.
-    Requires width % 32 == 0; the padded height is a 32-multiple by
-    construction."""
+    (T, C, 8, 128) froxel tiles. The block order is TILE-MAJOR (round
+    5): a 32 px froxel tile is 1024 CONSECUTIVE rows, so this is one
+    minor-axes transpose — the shade kernel never reads within-tile
+    pixel coordinates, so the within-tile order is free to stay in
+    block layout. Requires width % 32 == 0."""
     C = flat.shape[-1]
-    hp = flat.shape[0] // width
-    by, bx = hp // 16, width // 16
-    a = flat.reshape(by // 2, 2, bx // 2, 2, 16, 16, C)
-    # (ty, sub_by, tx, sub_bx, iy, ix, C) -> (ty, tx, C, sub_by, iy,
-    # sub_bx, ix); flattening the last four gives row-major 32x32 pixels
-    a = jnp.transpose(a, (0, 2, 6, 1, 4, 3, 5))
-    return a.reshape((by // 2) * (bx // 2), C, _PXROWS, 128)
+    T = flat.shape[0] // 1024
+    a = flat.reshape(T, 1024, C)
+    return jnp.transpose(a, (0, 2, 1)).reshape(T, C, _PXROWS, 128)
+
+
+def stack_tiles_from_blocks(channels, width: int) -> jnp.ndarray:
+    """Per-channel (R_pad,) block16-order arrays -> (T, C, 8, 128)
+    froxel tiles WITHOUT the channel-minor transpose: each channel
+    reshapes to its tile rows for free (tile-major order) and one stack
+    interleaves them — replaces concat(R,16) + to_tiles_from_blocks."""
+    T = channels[0].shape[0] // 1024
+    return jnp.stack(
+        [c.reshape(T, _PXROWS, 128) for c in channels], axis=1
+    )
 
 
 def from_tiles_to_blocks(tiles: jnp.ndarray, width: int) -> jnp.ndarray:
     """(T, C, 8, 128) froxel tiles -> (R_pad, C) block16 order (inverse
     of to_tiles_from_blocks)."""
-    C = tiles.shape[1]
-    tx = width // 32
-    ty = tiles.shape[0] // tx
-    a = tiles.reshape(ty, tx, C, 2, 16, 2, 16)
-    a = jnp.transpose(a, (0, 3, 1, 5, 4, 6, 2))
-    return a.reshape(ty * 2 * tx * 2 * 256, C)
+    T, C = tiles.shape[0], tiles.shape[1]
+    a = tiles.reshape(T, C, 1024)
+    return jnp.transpose(a, (0, 2, 1)).reshape(T * 1024, C)
 
 
 def build_tile_light_lists(cam: dict, lights: dict, width: int, height: int,
@@ -371,19 +375,6 @@ def shade_clustered_tiles(
         cam, lights, width, height, y_offset=y_offset, full_height=full_height
     )
     rows = lights["packed_rows"]
-    packed = jnp.concatenate(
-        [
-            surface["position_ws"],
-            surface["normal_ws"],
-            surface["albedo"],
-            surface["roughness"][..., None],
-            surface["metallic"][..., None],
-            z_cam[..., None],
-            valid.astype(jnp.float32)[..., None],
-            jnp.zeros((z_cam.shape[0], 3), jnp.float32),
-        ],
-        axis=-1,
-    )
     blocked = pixel_order == "block16"
     if blocked:
         assert width % 32 == 0
@@ -392,8 +383,45 @@ def shade_clustered_tiles(
         # value (the production block16 callers all pass literal 0).
         if isinstance(y_offset, (int, float)):
             assert y_offset == 0, "block16 shading requires y_offset == 0"
-        chan = to_tiles_from_blocks(packed, width)
+        # per-channel tile stacking: in the tile-major block order each
+        # channel reshapes straight into its tile rows — no (R, 16)
+        # concat, no channel-minor transpose (round 5)
+        zero = jnp.zeros_like(z_cam)
+        chan = stack_tiles_from_blocks(
+            [
+                surface["position_ws"][..., 0],
+                surface["position_ws"][..., 1],
+                surface["position_ws"][..., 2],
+                surface["normal_ws"][..., 0],
+                surface["normal_ws"][..., 1],
+                surface["normal_ws"][..., 2],
+                surface["albedo"][..., 0],
+                surface["albedo"][..., 1],
+                surface["albedo"][..., 2],
+                surface["roughness"],
+                surface["metallic"],
+                z_cam,
+                valid.astype(jnp.float32),
+                zero,
+                zero,
+                zero,
+            ],
+            width,
+        )
     else:
+        packed = jnp.concatenate(
+            [
+                surface["position_ws"],
+                surface["normal_ws"],
+                surface["albedo"],
+                surface["roughness"][..., None],
+                surface["metallic"][..., None],
+                z_cam[..., None],
+                valid.astype(jnp.float32)[..., None],
+                jnp.zeros((z_cam.shape[0], 3), jnp.float32),
+            ],
+            axis=-1,
+        )
         chan = to_tiles(packed, width, height)
     T = chan.shape[0]
     lcap = lists.shape[1]

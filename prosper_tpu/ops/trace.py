@@ -261,6 +261,16 @@ def block_order_padded(width: int, height: int, block: int = 16):
     row-major is REGULAR, so the unsort is a reshape/transpose instead of
     a 2M-row gather (measured 24 ms/frame at 1080p x 16 channels).
 
+    Block traversal is TILE-MAJOR (round 5): the four 16 px blocks of
+    each 32 px froxel tile are CONSECUTIVE — order (tile_y, tile_x,
+    sub_by, sub_bx, iy, ix) — so a froxel tile is exactly 1024
+    consecutive rows and shade_tiles' tile assembly is a per-channel
+    reshape instead of a 7-D shuffle (the (34,2,60,2,16,16,C)
+    broadcast/concat/transpose chain was ~10 ms of the 1080p deferred
+    xplane). Every consecutive 256-row group is still one 16 px block,
+    so ray tiles, tile_apply compaction and the primary tile mask keep
+    their bounds.
+
     Returns (px, py, padded_height); rays with py >= height are padding
     (callers mark them invalid). width must be a multiple of `block`.
     """
@@ -269,21 +279,31 @@ def block_order_padded(width: int, height: int, block: int = 16):
     assert width % block == 0, width
     hp = -(-height // (2 * block)) * (2 * block)
     by, bx = hp // block, width // block
+    assert by % 2 == 0 and bx % 2 == 0, (width, height)
+    ty, tx = by // 2, bx // 2
     yy, xx = np.meshgrid(
         np.arange(block, dtype=np.uint32),
         np.arange(block, dtype=np.uint32),
         indexing="ij",
     )
+    # (ty, tx, sby, sbx, iy, ix)
     px = (
-        np.arange(bx, dtype=np.uint32)[None, :, None, None] * block
-        + xx[None, None]
+        np.arange(tx, dtype=np.uint32)[None, :, None, None, None, None]
+        * (2 * block)
+        + np.arange(2, dtype=np.uint32)[None, None, None, :, None, None]
+        * block
+        + xx[None, None, None, None]
     )
     py = (
-        np.arange(by, dtype=np.uint32)[:, None, None, None] * block
-        + yy[None, None]
+        np.arange(ty, dtype=np.uint32)[:, None, None, None, None, None]
+        * (2 * block)
+        + np.arange(2, dtype=np.uint32)[None, None, :, None, None, None]
+        * block
+        + yy[None, None, None, None]
     )
-    px = np.broadcast_to(px, (by, bx, block, block)).reshape(-1)
-    py = np.broadcast_to(py, (by, bx, block, block)).reshape(-1)
+    shape = (ty, tx, 2, 2, block, block)
+    px = np.broadcast_to(px, shape).reshape(-1)
+    py = np.broadcast_to(py, shape).reshape(-1)
     return px.copy(), py.copy(), hp
 
 
@@ -291,11 +311,12 @@ def blocks_to_rows(a, width: int, height: int, block: int = 16):
     """(R_pad, ...) in block_order_padded order -> (height*width, ...)
     row-major, via a regular reshape/transpose (no gather)."""
     hp = a.shape[0] // width
-    by, bx = hp // block, width // block
+    ty, tx = hp // (2 * block), width // (2 * block)
     rest = a.shape[1:]
-    img = a.reshape((by, bx, block, block) + rest)
+    img = a.reshape((ty, tx, 2, 2, block, block) + rest)
+    # (ty, tx, sby, sbx, iy, ix) -> (ty, sby, iy, tx, sbx, ix)
     img = jnp.transpose(
-        img, (0, 2, 1, 3) + tuple(range(4, 4 + len(rest)))
+        img, (0, 2, 4, 1, 3, 5) + tuple(range(6, 6 + len(rest)))
     ).reshape((hp, width) + rest)
     return img[:height].reshape((height * width,) + rest)
 
@@ -310,10 +331,11 @@ def rows_to_blocks(a, width: int, height: int, block: int = 16):
         img = jnp.concatenate(
             [img, jnp.zeros((hp - height, width) + rest, a.dtype)], axis=0
         )
-    by, bx = hp // block, width // block
-    img = img.reshape((by, block, bx, block) + rest)
+    ty, tx = hp // (2 * block), width // (2 * block)
+    img = img.reshape((ty, 2, block, tx, 2, block) + rest)
+    # (ty, sby, iy, tx, sbx, ix) -> (ty, tx, sby, sbx, iy, ix)
     img = jnp.transpose(
-        img, (0, 2, 1, 3) + tuple(range(4, 4 + len(rest)))
+        img, (0, 3, 1, 4, 2, 5) + tuple(range(6, 6 + len(rest)))
     )
     return img.reshape((hp * width,) + rest)
 

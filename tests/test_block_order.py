@@ -56,13 +56,30 @@ def test_tile_transforms_roundtrip():
     back = from_tiles_to_blocks(tiles, W)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
 
-    # tile t, row-major pixel p of the 32x32 tile must hold the same
-    # value as to_tiles applied to the row-major image
+    # tile t must hold exactly the pixels of froxel tile t (the shade
+    # kernel never reads within-tile pixel coordinates, so the
+    # within-tile ORDER is the block layout, not to_tiles' row-major —
+    # round 5; the order must still be the SAME for every channel)
     from prosper_tpu.ops.shade_tiles import to_tiles
 
     rows = trace.blocks_to_rows(a, W, H)
-    tiles_row = to_tiles(rows, W, H)
-    np.testing.assert_array_equal(np.asarray(tiles), np.asarray(tiles_row))
+    tiles_row = np.asarray(to_tiles(rows, W, H))
+    tiles_np = np.asarray(tiles)
+    flat_new = tiles_np.reshape(tiles_np.shape[0], 5, 1024)
+    flat_row = tiles_row.reshape(tiles_row.shape[0], 5, 1024)
+    # same multiset of pixels per tile...
+    np.testing.assert_array_equal(
+        np.sort(flat_new, axis=-1), np.sort(flat_row, axis=-1)
+    )
+    # ...and one consistent within-tile permutation across channels
+    perm = np.argsort(flat_new[:, 0], axis=-1)
+    want = np.take_along_axis(flat_row[:, 0], np.argsort(flat_row[:, 0]), -1)
+    for c in range(5):
+        got = np.take_along_axis(flat_new[:, c], perm, -1)
+        ref = np.take_along_axis(
+            flat_row[:, c], np.argsort(flat_row[:, 0], axis=-1), -1
+        )
+        np.testing.assert_array_equal(got, ref)
 
 
 def test_gbuffer_block16_matches_row():
