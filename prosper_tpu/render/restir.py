@@ -271,11 +271,32 @@ def restir_shade(
         )
         if jax.default_backend() != "cpu" and trace.frame_bvh(frame) is not None:
             # rays toward the SAME light form a convergent cone: sorting
-            # by the winning light id turns the 1024-random-light shadow
-            # batch from worst-case divergent packets into coherent ones
-            # (the permutation is fused into the kernel's ray prep);
-            # measured 69 ms/frame at 1080p round 2
-            key = jnp.where(valid, li, jnp.int32(2**30))
+            # keeps each light's rays contiguous so packets are coherent
+            # (the permutation is fused into the kernel's ray prep).
+            # The sort key is the light's POSITION (Morton), not its id:
+            # ids are assigned in load order, so id-adjacent lights are
+            # spatially random and a 256-ray packet spanning the 2-4
+            # lights at a chunk boundary union-visits unrelated subtrees
+            # (xprof r5: 48 leaf visits/packet, 64.5 ms of the frame);
+            # position-adjacent lights share BVH subtrees. li rides the
+            # low bits so same-cell lights don't interleave.
+            rows_l = lights["packed_rows"]
+            lpos = rows_l[jnp.maximum(li, 0)][..., 4:7]
+            lo_w = frame["wc_aabb_min_w"].min(axis=0)
+            hi_w = frame["wc_aabb_max_w"].max(axis=0)
+            q = jnp.clip(
+                (lpos - lo_w) / jnp.maximum(hi_w - lo_w, 1e-9) * 63.0,
+                0.0, 63.0,
+            ).astype(jnp.int32)
+            m = jnp.zeros_like(li)
+            for b in range(6):
+                for a in range(3):
+                    m = m | (((q[..., a] >> b) & 1) << (3 * b + a))
+            key = jnp.where(
+                valid,
+                jnp.where(li == 0, -1, m * 2048 + (li & 2047)),
+                jnp.int32(2**30),
+            )
             perm = jnp.argsort(key)
             inv = (
                 jnp.zeros_like(perm)
