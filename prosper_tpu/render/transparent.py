@@ -60,22 +60,63 @@ def transparent_pass(
     geom = trace.frame_geometry(static_scene, frame)
     tris = geom["tris"]
     use_full = jax.default_backend() != "cpu"
+    bvh = trace.frame_bvh(frame)
+    from .surface import pixel_cone_alpha
+
+    cone = {"alpha": pixel_cone_alpha(cam, height), "bias": 0.0}
     if use_full:
         from ..ops.trace_pallas_full import pack_tris_full, trace_closest_full
 
         packed_full = geom.get("packed_full")
         if packed_full is None:
             packed_full = pack_tris_full(static_scene, frame)
-        hit = trace_closest_full(packed_full, mn, mx, o, d, 1e-4, jnp.inf)
-        from .surface import evaluate_surface_from_attrs, pixel_cone_alpha
+        if bvh is not None:
+            # BVH descent with the blend clusters as the in-kernel skip
+            # mask: non-blend subtrees are never visited. The old flat
+            # cull-list kernel here traced all 2M rays against the
+            # masked-AABB list and cost 567 ms of the 1080p frame — the
+            # very first thing the round-5 per-pass profiler caught.
+            from ..ops.trace_bvh import trace_closest_bvh_full
 
-        cone = {"alpha": pixel_cone_alpha(cam, height), "bias": 0.0}
-        surface = evaluate_surface_from_attrs(arena, o, d, hit, cone=cone)
+            hit = trace_closest_bvh_full(
+                packed_full, bvh[0], bvh[1], o, d, 1e-4, jnp.inf,
+                skip_mask=mask,
+            )
+        else:
+            hit = trace_closest_full(packed_full, mn, mx, o, d, 1e-4, jnp.inf)
+        from .surface import evaluate_surface_from_attrs
+
+        # surface eval (incl. trilinear arena taps) only on 256-ray
+        # tiles containing a blend hit — blend geometry covers a small
+        # screen fraction in the common case
+        from ..ops.compact import tile_apply
+
+        hit_lane = hit["tri"] >= 0
+        pad = (-R) % 256
+
+        def _pad(a):
+            return (
+                jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                if pad
+                else a
+            )
+
+        def _eval(c_in, lane_ok):
+            o_c, d_c, hit_c = c_in
+            s = evaluate_surface_from_attrs(arena, o_c, d_c, hit_c, cone=cone)
+            s.pop("valid")
+            return s
+
+        surface = tile_apply(
+            _pad(hit_lane), _eval,
+            (_pad(o), _pad(d), {k: _pad(v) for k, v in hit.items()}),
+        )
+        if pad:
+            surface = {k: v[:-pad] for k, v in surface.items()}
     else:
         hit = trace.trace_closest(tris, mn, mx, o, d, 1e-4, jnp.inf)
-        from .surface import evaluate_surface, pixel_cone_alpha
+        from .surface import evaluate_surface
 
-        cone = {"alpha": pixel_cone_alpha(cam, height), "bias": 0.0}
         surface = evaluate_surface(
             static_scene, frame, arena, o, d, hit, cone=cone
         )
