@@ -25,7 +25,15 @@ from prosper_tpu.render.frame import render_modes
 from prosper_tpu.testing import make_test_scene
 from prosper_tpu.utils.dispatch_count import count_dispatches
 
-BUDGETS = {"pt": 5, "deferred": 4, "restir": 5, "forward": 4}
+BUDGETS = {"pt": 5, "deferred": 4, "restir": 5, "forward": 4,
+           "deferred_full": 4}  # full post chain: taa+bloom+dof+particles
+# (measured 2 — the whole chain fuses into the frame jit)
+EXTRA_KW = {
+    "deferred_full": dict(
+        use_taa=True, use_bloom=True, use_dof=True, use_particles=True
+    ),
+}
+MODE_OF = {"deferred_full": "deferred"}
 W = H = 64
 
 
@@ -55,12 +63,14 @@ def scene():
 @pytest.mark.parametrize("mode", sorted(BUDGETS))
 def test_steady_state_frame_dispatch_budget(scene, mode):
     s, f, a, cam, lut = scene
-    render = render_modes()[mode]
+    render = render_modes()[MODE_OF.get(mode, mode)]
+    kw = EXTRA_KW.get(mode, {})
     state = None
     for i in range(3):  # compile + leave warmed state (accum/TAA history)
         img, state = render(
             static=s, frame=f, arena=a, cam=cam, lut=lut,
             width=W, height=H, frame_index=i, state=state, max_bounces=2,
+            **kw,
         )
         float(img.mean())
     out = {}
@@ -68,6 +78,7 @@ def test_steady_state_frame_dispatch_budget(scene, mode):
         img, state = render(
             static=s, frame=f, arena=a, cam=cam, lut=lut,
             width=W, height=H, frame_index=3, state=state, max_bounces=2,
+            **kw,
         )
         float(img.mean())  # the forcing mean counts; budgets include it
     assert out["n"] <= BUDGETS[mode], (
