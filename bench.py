@@ -66,7 +66,7 @@ TARGET_FPS = 30.0
 # first and leaves a labeled error on stdout. Smoke gets cold-compile
 # headroom (ADVICE r4: a slow-but-healthy first compile is not a wedge).
 STAGES = (
-    ("smoke", 420, 450),
+    ("smoke", 900, 930),  # full tpu_smoke suite; cold-compile headroom
     ("pt", 600, 630),
     ("deferred", 540, 570),
     ("restir", 540, 570),
@@ -289,38 +289,22 @@ def _setup_scene(jnp, with_lights: bool):
 
 
 def stage_smoke(jax, jnp) -> dict:
-    """On-chip parity of the BVH + leaf-major kernels vs the XLA path."""
-    import numpy as np
+    """Full on-chip kernel smoke suite via scripts/tpu_smoke.py — every
+    Pallas kernel family vs the XLA path on the real chip. Running it
+    here means the driver's end-of-round bench REFRESHES TPU_SMOKE.json
+    (VERDICT r4 weak #8: the gate artifact was a point-in-time snapshot
+    only as fresh as the last manual tunnel session). tpu_smoke has its
+    own per-stage-reset watchdog and always writes the artifact."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    import tpu_smoke
 
-    from prosper_tpu.ops import trace as _tr
-    from prosper_tpu.ops import trace_bvh, trace_leafmajor, trace_pallas
-    from prosper_tpu.testing import make_test_scene
-
-    s_static, s_frame, _a, _c = make_test_scene(n_boxes=9)
-    s_tris = {
-        "v0": jnp.asarray(s_static["wt_p0"]),
-        "e1": jnp.asarray(s_static["wt_p1"] - s_static["wt_p0"]),
-        "e2": jnp.asarray(s_static["wt_p2"] - s_static["wt_p0"]),
-    }
-    s_min = jnp.asarray(s_frame["wc_aabb_min_w"])
-    s_max = jnp.asarray(s_frame["wc_aabb_max_w"])
-    s_bounds = jnp.asarray(s_frame["bvh_bounds"])
-    s_meta = jnp.asarray(s_frame["bvh_meta"])
-    s_packed = trace_pallas.pack_tris(s_tris)
-    rng = np.random.default_rng(0)
-    R = 512
-    so = jnp.asarray(rng.uniform(-6, 6, (R, 3)).astype(np.float32))
-    sd = rng.normal(size=(R, 3)).astype(np.float32)
-    sd = jnp.asarray(sd / np.linalg.norm(sd, axis=1, keepdims=True))
-    ref = _tr.trace_closest(s_tris, s_min, s_max, so, sd, 1e-4, jnp.inf)
-    got_b = trace_bvh.trace_closest_bvh(s_packed, s_bounds, s_meta, so, sd, 1e-4, jnp.inf)
-    got_l = trace_leafmajor.trace_closest_leafmajor(
-        s_packed, s_min, s_max, so, sd, 1e-4, jnp.inf
-    )
-    ok = True
-    for got in (got_b, got_l):
-        ok &= bool(jnp.all(got["tri"] == ref["tri"]))
-    return {"ok": bool(ok)}
+    # run in-process (one TPU holder at a time); the bench child's own
+    # watchdog bounds a wedge, and tpu_smoke's deadline poller stays
+    # dormant outside its __main__. The artifact is written either way.
+    rc = tpu_smoke.main()
+    tpu_smoke._write_artifact(rc)
+    return {"ok": rc == 0, "failures": list(tpu_smoke.FAILURES)}
 
 
 def stage_pt(jax, jnp) -> dict:
